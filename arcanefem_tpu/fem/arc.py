@@ -1,0 +1,203 @@
+"""Reference ``.arc`` case-file reader.
+
+Runs the reference's XML case files directly (e.g.
+modules/poisson/inputs/circle.2D.arc): mesh selection, <fem> options,
+boundary conditions and linear-system choice are parsed into the typed
+configs of this framework.  This reproduces layer (2) of the reference's
+config system (SURVEY.md §5: .axl descriptors -> .arc values -> CLI),
+so a reference user can point arcanefem_tpu at their existing cases.
+
+Solver-backend mapping:
+  SequentialBasicLinearSystem -> dense direct (tiny systems)
+  AlephLinearSystem (petsc/hypre/trilinos) -> cg (jacobi)
+  HypreLinearSystem -> cg (jacobi), rtol from <rtol>
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+from ..solver.linear_system import SolverOptions
+from .bcs import (
+    BoundaryConditions,
+    DirichletBC,
+    DirichletPointBC,
+    NeumannBC,
+)
+
+
+@dataclass
+class ArcCase:
+    codename: str
+    path: str
+    mesh_file: str
+    fem: ET.Element
+    base_dir: str  # module root (for check/ result files)
+
+    # parsed generic pieces
+    bcs: BoundaryConditions = field(default_factory=BoundaryConditions)
+    solver: SolverOptions = field(default_factory=SolverOptions)
+    result_file: str | None = None
+
+
+def _text(elem: ET.Element | None, default=None):
+    if elem is None or elem.text is None:
+        return default
+    return elem.text.strip()
+
+
+def _float(elem: ET.Element | None, default=None):
+    t = _text(elem)
+    return float(t) if t is not None else default
+
+
+def opt_float(fem: ET.Element, name: str, default=None):
+    return _float(fem.find(name), default)
+
+
+def opt_text(fem: ET.Element, name: str, default=None):
+    return _text(fem.find(name), default)
+
+
+def opt_bool(fem: ET.Element, name: str, default=False):
+    t = _text(fem.find(name))
+    if t is None:
+        return default
+    return t.lower() == "true"
+
+
+def parse_bcs(bc_elem: ET.Element | None) -> BoundaryConditions:
+    bcs = BoundaryConditions()
+    if bc_elem is None:
+        return bcs
+    for d in bc_elem.findall("dirichlet"):
+        values = None
+        comp = {}
+        for ax, tag in enumerate(("valueX", "valueY", "valueZ")):
+            v = opt_float(d, tag)
+            if v is not None or d.find(tag) is not None:
+                comp[ax] = v
+        # Ux/Uy/Uz style used by elasticity-family modules
+        for ax, tag in enumerate(("Ux", "Uy", "Uz")):
+            v = opt_float(d, tag)
+            if v is not None:
+                comp[ax] = v
+        if comp:
+            values = tuple(comp.get(a) for a in range(3))
+        bcs.dirichlet.append(
+            DirichletBC(
+                surface=_text(d.find("surface")),
+                value=opt_float(d, "value"),
+                values=values,
+                method=opt_text(d, "enforce-Dirichlet-method", "Penalty"),
+                penalty=opt_float(d, "penalty", 1.0e30),
+            )
+        )
+    for d in bc_elem.findall("dirichlet-point"):
+        comp = {}
+        for ax, tag in enumerate(("Ux", "Uy", "Uz")):
+            v = opt_float(d, tag)
+            if v is not None:
+                comp[ax] = v
+        values = tuple(comp.get(a) for a in range(3)) if comp else None
+        bcs.dirichlet_point.append(
+            DirichletPointBC(
+                node_group=_text(d.find("node")),
+                value=opt_float(d, "value"),
+                values=values,
+                method=opt_text(d, "enforce-Dirichlet-method", "Penalty"),
+                penalty=opt_float(d, "penalty", 1.0e30),
+            )
+        )
+    for n in bc_elem.findall("neumann"):
+        bcs.neumann.append(
+            NeumannBC(
+                surface=_text(n.find("surface")),
+                value=opt_float(n, "value"),
+                valueX=opt_float(n, "valueX"),
+                valueY=opt_float(n, "valueY"),
+                valueZ=opt_float(n, "valueZ"),
+            )
+        )
+    return bcs
+
+
+def parse_solver(fem: ET.Element) -> SolverOptions:
+    opts = SolverOptions()
+    ls = fem.find("linear-system")
+    if ls is None:
+        return opts
+    name = ls.get("name", "")
+    if name == "SequentialBasicLinearSystem":
+        opts.method = "dense"
+    elif name == "HypreLinearSystem":
+        opts.method = "cg"
+        rtol = opt_float(ls, "rtol")
+        if rtol is not None:
+            opts.rtol = rtol
+        atol = opt_float(ls, "atol")
+        if atol is not None:
+            opts.atol = atol
+        mi = opt_float(ls, "max-iter")
+        if mi is not None:
+            opts.max_iter = int(mi)
+    else:  # AlephLinearSystem & default
+        eps = opt_float(ls, "epsilon")
+        if eps is not None:
+            # Aleph epsilon 1e-15 is an absolute-ish tolerance; we keep a
+            # tight relative tolerance for golden-file parity
+            opts.rtol = max(eps, 1.0e-12)
+    return opts
+
+
+def load_case(path: str, mesh_root: str | None = None) -> ArcCase:
+    tree = ET.parse(path)
+    root = tree.getroot()
+    codename = root.get("codename")
+
+    mesh_file = None
+    meshes = root.find("meshes")
+    if meshes is not None:
+        m = meshes.find("mesh")
+        if m is not None:
+            mesh_file = _text(m.find("filename"))
+    if mesh_file is None:
+        m = root.find("mesh")
+        if m is not None:  # legacy <mesh><meshes-file>
+            mesh_file = _text(m.find("filename")) or _text(m.find("meshes-file"))
+    if mesh_file is None:
+        raise ValueError(f"{path}: no mesh filename found")
+
+    base_dir = os.path.dirname(os.path.dirname(os.path.abspath(path)))
+    candidates = [
+        os.path.join(os.path.dirname(path), mesh_file),
+        os.path.join(base_dir, mesh_file),
+    ]
+    if mesh_root:
+        candidates.append(os.path.join(mesh_root, os.path.basename(mesh_file)))
+    candidates.append(
+        os.path.join("/root/reference/meshes/msh", os.path.basename(mesh_file))
+    )
+    resolved = next((c for c in candidates if os.path.exists(c)), None)
+    if resolved is None:
+        raise FileNotFoundError(f"mesh '{mesh_file}' not found near {path}")
+
+    fem = root.find("fem")
+    if fem is None:
+        raise ValueError(f"{path}: no <fem> element")
+
+    case = ArcCase(
+        codename=codename,
+        path=path,
+        mesh_file=resolved,
+        fem=fem,
+        base_dir=base_dir,
+    )
+    case.bcs = parse_bcs(fem.find("boundary-conditions"))
+    case.solver = parse_solver(fem)
+    rf = opt_text(fem, "result-file")
+    if rf:
+        case.result_file = os.path.join(base_dir, rf)
+    return case

@@ -1,0 +1,44 @@
+"""Case runner: codename -> model dispatch.
+
+The reference builds one executable per module with an Arcane time loop
+(modules/*/main.cc + <Name>.config); here each model registers a
+``run(case, mesh, dtype)`` callable and `run_case` plays the role of the
+ArcaneLauncher (SURVEY.md §3.1 call stack).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from ..mesh.core import Mesh, read_msh
+from .arc import ArcCase, load_case
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register(codename: str):
+    def deco(fn):
+        _REGISTRY[codename] = fn
+        return fn
+
+    return deco
+
+
+def run_case(path: str, dtype=None, mesh_root: str | None = None, **kw):
+    """Load an .arc case, read its mesh, dispatch to the registered model."""
+    import numpy as np
+
+    case = load_case(path, mesh_root=mesh_root)
+    if case.codename not in _REGISTRY:
+        # import model modules lazily so registration side-effects run
+        from .. import models  # noqa: F401
+        from ..models import _ALL  # triggers imports
+
+        _ = _ALL
+    if case.codename not in _REGISTRY:
+        raise KeyError(
+            f"no model registered for codename '{case.codename}' "
+            f"(have: {sorted(_REGISTRY)})"
+        )
+    mesh = read_msh(case.mesh_file)
+    return _REGISTRY[case.codename](case, mesh, dtype=dtype or np.float64, **kw)

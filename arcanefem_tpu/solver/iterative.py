@@ -1,0 +1,221 @@
+"""Iterative Krylov solvers (jit-compiled, static shapes, lax.while_loop).
+
+These fill the role of the reference's distributed solver backends:
+Hypre ParCSR PCG (HypreDoFLinearSystem.cc:686-742, rtol 1e-7 / max 1000
+defaults from HypreDoFLinearSystemFactory.axl:4-13) and Aleph PCG/BiCGStab
+(AlephDoFLinearSystem.cc:344-379).  The SpMV is the BELL gather kernel; dot
+products are single `jnp.vdot`s that become `psum`s under shard_map.
+
+The matrix and preconditioner are JAX pytrees (values traced, topology
+static), so repeated solves with the same mesh hit the jit cache.
+
+Precision: on TPU the natural dtype is f32; to reach tight residuals the
+dot products can use compensated (double-float) accumulation — see
+``precise_dot``.  Tests run f64 on CPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse.bell import BellMatrix
+
+Array = jnp.ndarray
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["kind"],
+)
+@dataclass
+class Precond:
+    """Preconditioner as a pytree: kind in {none, jacobi, block-jacobi}."""
+
+    data: tuple
+    kind: str
+
+    def apply(self, r: Array) -> Array:
+        if self.kind == "none":
+            return r
+        if self.kind == "jacobi":
+            (inv_diag,) = self.data
+            return inv_diag * r
+        if self.kind == "block-jacobi":
+            (inv_blocks,) = self.data  # (N, b, b)
+            n, b, _ = inv_blocks.shape
+            rn = r.reshape(n, b)
+            return jnp.einsum("nab,nb->na", inv_blocks, rn).reshape(-1)
+        raise ValueError(f"unknown preconditioner kind '{self.kind}'")
+
+
+def make_precond(A: BellMatrix, name: str | None) -> Precond:
+    if name in (None, "none"):
+        return Precond(data=(), kind="none")
+    if name == "jacobi":
+        d = A.diagonal()
+        inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
+        return Precond(data=(inv,), kind="jacobi")
+    if name == "block-jacobi":
+        inv = jnp.linalg.inv(A.diag_blocks())
+        return Precond(data=(inv,), kind="block-jacobi")
+    raise ValueError(f"unknown preconditioner '{name}'")
+
+
+def _two_sum(a: Array, b: Array) -> tuple[Array, Array]:
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split(a: Array) -> tuple[Array, Array]:
+    # Dekker split; factor 2^12+1 for f32 (f64 never routes through here).
+    c = a * jnp.asarray(4097.0, a.dtype)
+    big = c - (c - a)
+    return big, a - big
+
+
+def _two_prod(a: Array, b: Array) -> tuple[Array, Array]:
+    p = a * b
+    a1, a2 = _split(a)
+    b1, b2 = _split(b)
+    err = ((a1 * b1 - p) + a1 * b2 + a2 * b1) + a2 * b2
+    return p, err
+
+
+def precise_dot(a: Array, b: Array) -> Array:
+    """Ogita-Rump-Oishi dot2: f32 inputs, near-f64-quality reduction.
+
+    The mixed-precision trick that lets f32 CG reach tight residuals on TPU
+    where f64 is emulated (SURVEY.md §7 hard part 2).
+    """
+    p, e = _two_prod(a, b)
+    s, comp = _two_sum(jnp.sum(p), jnp.sum(e))
+    return s + comp
+
+
+def default_dot(a: Array, b: Array) -> Array:
+    return jnp.vdot(a, b)
+
+
+@partial(jax.jit, static_argnames=("max_iter", "use_precise_dot"))
+def pcg(
+    A: BellMatrix,
+    b: Array,
+    M: Precond,
+    x0: Array,
+    rtol: float,
+    atol: float,
+    max_iter: int,
+    use_precise_dot: bool = False,
+):
+    """Preconditioned conjugate gradients.
+
+    Stopping: ||r||_C <= max(rtol * ||b||_C, atol) in the preconditioned
+    norm ||v||_C = sqrt(v^T M v) — Hypre PCG's default convergence measure
+    (the reference's HYPRE_ParCSRPCG path).  The preconditioned norm is what
+    makes penalty-method Dirichlet rows (diag ~1e30/1e12) not drown the
+    interior residual.  Returns (x, iterations, final_relative_residual).
+    """
+    dot = precise_dot if use_precise_dot else default_dot
+
+    r0 = b - A.spmv(x0)
+    z0 = M.apply(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+
+    # Convergence relative to the *initial* preconditioned residual.  The
+    # caller warm-starts x0 at the Dirichlet values, so penalty-row scales
+    # (1e30 diagonals) cancel out of the reference norm — without the warm
+    # start this degrades to the usual ||r||/||b|| criterion.
+    tol2 = jnp.maximum(rtol * rtol * jnp.abs(rz0), atol * atol)
+
+    def cond(state):
+        _x, _r, _z, _p, rz, k = state
+        return (jnp.abs(rz) > tol2) & (k < max_iter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = A.spmv(p)
+        alpha = rz / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M.apply(r)
+        rz_new = dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, _r, _z, _p, rz, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.int32(0))
+    )
+    rel = jnp.sqrt(
+        jnp.abs(rz)
+        / jnp.maximum(jnp.abs(rz0), jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype))
+    )
+    return x, k, rel
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def bicgstab(
+    A: BellMatrix,
+    b: Array,
+    M: Precond,
+    x0: Array,
+    rtol: float,
+    atol: float,
+    max_iter: int,
+):
+    """Preconditioned BiCGStab (the Aleph method_bicgstab role,
+    AlephDoFLinearSystem.cc solver-method option) for nonsymmetric systems.
+
+    Convergence is measured on the left-preconditioned residual ||M r||_2
+    (the PETSc default), for the same penalty-row-scaling reason as pcg.
+    """
+    dot = default_dot
+
+    def pnorm2(r):
+        mr = M.apply(r)
+        return dot(mr, mr)
+
+    r0 = b - A.spmv(x0)
+    rhat = r0
+    bnorm = jnp.sqrt(pnorm2(r0))  # relative to warm-started initial residual
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def cond(state):
+        _x, r, _p, _v, _rho, _alpha, _omega, k = state
+        return (jnp.sqrt(pnorm2(r)) > tol) & (k < max_iter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, k = state
+        rho_new = dot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        ph = M.apply(p)
+        v = A.spmv(ph)
+        alpha = rho_new / dot(rhat, v)
+        s = r - alpha * v
+        sh = M.apply(s)
+        t = A.spmv(sh)
+        tt = dot(t, t)
+        omega = jnp.where(tt > 0, dot(t, s) / tt, jnp.zeros_like(tt))
+        x = x + alpha * ph + omega * sh
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+
+    one = jnp.asarray(1.0, b.dtype)
+    x, r, _p, _v, _rho, _a, _o, k = jax.lax.while_loop(
+        cond,
+        body,
+        (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one, jnp.int32(0)),
+    )
+    rel = jnp.sqrt(pnorm2(r)) / jnp.maximum(
+        bnorm, jnp.asarray(jnp.finfo(bnorm.dtype).tiny, bnorm.dtype)
+    )
+    return x, k, rel

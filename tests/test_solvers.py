@@ -1,0 +1,93 @@
+"""Solver-layer tests: Krylov vs dense, deferred-BC semantics equivalence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arcanefem_tpu.fem.problem import FemProblem
+from arcanefem_tpu.mesh import rect_tria_mesh
+from arcanefem_tpu.ops import elements
+from arcanefem_tpu.solver.iterative import bicgstab, make_precond, pcg
+
+
+def _poisson_system(method="Penalty", penalty=1e30):
+    mesh = rect_tria_mesh(6, 6)
+    prob = FemProblem(mesh, ndof=1)
+    A = prob.assemble_matrix(lambda ct, xyz: elements.stiffness(ct, xyz))
+    sys = prob.new_system(A)
+    sys.rhs = prob.constant_source_rhs(3.0)
+    dofs = prob.group_dofs("left")
+    prob.apply_dirichlet(sys, dofs, 1.5, method, penalty)
+    dofs2 = prob.group_dofs("right")
+    prob.apply_dirichlet(sys, dofs2, -0.5, method, penalty)
+    return prob, sys
+
+
+def test_pcg_matches_dense():
+    prob, sys = _poisson_system()
+    A, b = sys.finalized()
+    M = make_precond(A, "jacobi")
+    x, k, rel = pcg(A, b, M, sys.initial_guess(), 1e-12, 0.0, 500)
+    xd = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xd), rtol=1e-8)
+    assert int(k) > 0 and float(rel) < 1e-11
+
+
+def test_bicgstab_matches_dense():
+    prob, sys = _poisson_system(method="RowElimination")
+    A, b = sys.finalized()
+    M = make_precond(A, "jacobi")
+    x, k, rel = bicgstab(A, b, M, sys.initial_guess(), 1e-12, 0.0, 500)
+    xd = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xd), rtol=1e-7, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "method", ["Penalty", "WeakPenalty", "RowElimination", "RowColumnElimination"]
+)
+def test_dirichlet_methods_agree(method):
+    """All four enforcement methods produce the same solution
+    (the reference exposes them as interchangeable options,
+    FemBoundaryConditions.axl enforce-Dirichlet-method)."""
+    _, sys = _poisson_system(method=method)
+    x, info = sys.solve()
+    _, sys_ref = _poisson_system(method="RowColumnElimination")
+    xr = jnp.linalg.solve(*(lambda ab: (ab[0].todense(), ab[1]))(sys_ref.finalized()))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xr), rtol=1e-6, atol=1e-9)
+
+
+def test_rowcol_elimination_preserves_symmetry():
+    _, sys = _poisson_system(method="RowColumnElimination")
+    A, b = sys.finalized()
+    dense = np.asarray(A.todense())
+    np.testing.assert_allclose(dense, dense.T, atol=1e-12)
+
+
+def test_row_elimination_rows_are_identity():
+    prob, sys = _poisson_system(method="RowElimination")
+    A, b = sys.finalized()
+    dense = np.asarray(A.todense())
+    dofs = prob.group_dofs("left")
+    for d in dofs:
+        row = dense[d].copy()
+        assert row[d] == 1.0
+        row[d] = 0.0
+        np.testing.assert_allclose(row, 0.0, atol=1e-14)
+        assert float(b[d]) == 1.5
+
+
+def test_block_jacobi_precond():
+    mesh = rect_tria_mesh(5, 5)
+    prob = FemProblem(mesh, ndof=2)
+    A = prob.assemble_matrix(lambda ct, xyz: elements.elasticity_tria3(xyz, 1.0, 2.0))
+    sys = prob.new_system(A)
+    sys.rhs = prob.constant_source_rhs(1.0, comp=1)
+    for comp in (0, 1):
+        dofs = prob.dof_ids(prob.mesh.group_nodes("left"), comp)
+        prob.apply_dirichlet(sys, dofs, 0.0, "Penalty", 1e30)
+    sys.options.preconditioner = "block-jacobi"
+    sys.options.rtol = 1e-11
+    x, info = sys.solve()
+    Af, bf = sys.finalized()
+    xd = jnp.linalg.solve(Af.todense(), bf)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xd), rtol=1e-7, atol=1e-12)
