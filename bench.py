@@ -1,0 +1,141 @@
+"""North-star benchmark: Poisson 3D at 10M DoF — assembly + CG to 1e-8.
+
+Mirrors the reference's benchmark methodology (modules/testlab/benchmarking/
+run-benchmark.sh: cache-warmed assembly timing + solve phase) on the TPU
+fast path: structured Kuhn-tet box (jittered geometry, so element matrices
+are non-trivial), stencil DIA assembly (static slice-adds at HBM bandwidth)
+and Jacobi-PCG with compensated-f32 dot products to 1e-8 relative residual.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = end-to-end seconds (assembly + solve) at the target size; smaller is
+better. The reference publishes no absolute numbers (BASELINE.md), so
+vs_baseline is null. Phase breakdown goes to stderr.
+
+Timing notes: through the axon tunnel, block_until_ready is unreliable, so
+every measurement forces completion with a scalar host fetch and uses a
+two-rep-count slope to cancel fetch latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.mesh.structured import (
+        StructuredBox,
+        apply_penalty_dirichlet,
+    )
+    from arcanefem_tpu.solver.iterative import Precond, pcg
+
+    platform = jax.devices()[0].platform
+    if os.environ.get("BENCH_N"):
+        n = int(os.environ["BENCH_N"])
+    else:
+        n = 214 if platform == "tpu" else 24  # 215^3 = 9.94M DoF on TPU
+    dtype = jnp.float32
+    rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
+
+    box = StructuredBox(n, n, n)
+    log(f"platform={platform} grid={n}^3 nodes={box.n_nodes:,} cells={box.n_cells:,}")
+
+    t0 = time.time()
+    c3d = jnp.asarray(box.grid_coords(np.float32, jitter=0.1))
+    mask = jnp.asarray(box.boundary_mask(("xmin", "xmax")))
+    gvals_np = np.zeros(box.n_nodes, np.float32)
+    gvals_np[box.boundary_mask(("xmax",))] = 1.0
+    gvals = jnp.asarray(gvals_np)
+    log(f"host setup {time.time()-t0:.1f}s")
+
+    penalty = 1.0e12  # f32-safe (dtype_safe_penalty rationale, fem/bcs.py)
+
+    @jax.jit
+    def assemble(c3d):
+        return box.assemble_stiffness(c3d)
+
+    @jax.jit
+    def solve(c3d):
+        A = box.assemble_stiffness(c3d)
+        rhs = box.source_rhs(c3d, 1.0)
+        A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
+        d = A.diagonal()
+        inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+        M = Precond(data=(inv,), kind="jacobi")
+        x0 = jnp.where(mask, gvals, 0.0)
+        return pcg(A, rhs, M, x0, rtol, 0.0, 5000, use_precise_dot=True)
+
+    # --- assembly throughput (cache-warmed, slope-timed) ---------------------
+    t0 = time.time()
+    A = assemble(c3d)
+    _ = float(jnp.sum(A.bands[0]))
+    log(f"assembly compile+first {time.time()-t0:.1f}s")
+
+    def run_assembly(reps):
+        t0 = time.time()
+        for _ in range(reps):
+            A = assemble(c3d)
+        _ = float(jnp.sum(A.bands[0]))
+        return time.time() - t0
+
+    r1, r2 = (2, 6) if platform == "tpu" else (1, 3)
+    t1 = min(run_assembly(r1) for _ in range(2))
+    t2 = min(run_assembly(r2) for _ in range(2))
+    asm_s = max((t2 - t1) / (r2 - r1), 1e-9)
+    asm_mdofs = box.n_nodes / asm_s / 1e6
+    log(f"assembly {asm_s*1e3:.1f} ms -> {asm_mdofs:.0f} MDoF/s")
+
+    # --- solve to rtol -------------------------------------------------------
+    t0 = time.time()
+    x, iters, res = solve(c3d)
+    _ = float(jnp.sum(x))
+    log(f"solve compile+first {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    x, iters, res = solve(c3d)
+    s = float(jnp.sum(x))
+    total_first = time.time() - t0  # assembly+bc+solve end-to-end
+    iters = int(iters)
+    # subtract the (re-)assembly part to report solve alone as well
+    solve_s = max(total_first - asm_s, 0.0)
+    log(
+        f"solve {solve_s:.2f} s ({iters} iters, rel res {float(res):.2e}, "
+        f"{solve_s/max(iters,1)*1e3:.2f} ms/iter, checksum {s:.4f})"
+    )
+    assert float(res) <= rtol * 1.5, "CG did not converge to target"
+    assert np.isfinite(s), "non-finite solution"
+
+    value = asm_s + solve_s
+    print(
+        json.dumps(
+            {
+                "metric": f"poisson3d_{box.n_nodes//1_000_000}MDoF_assembly+cg_to_{rtol:g}_s",
+                "value": round(value, 4),
+                "unit": "s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
