@@ -124,10 +124,63 @@ def parse_bcs(bc_elem: ET.Element | None) -> BoundaryConditions:
     return bcs
 
 
+def parse_null_vector(text: str | None) -> tuple:
+    """Space-separated component list with NULL = unset: '0.0 NULL' ->
+    (0.0, None) (reference modules/elasticity/FemModule.cc:225-230)."""
+    if text is None:
+        return ()
+    out = []
+    for tok in text.split():
+        out.append(None if tok.upper() == "NULL" else float(tok))
+    return tuple(out)
+
+
+def parse_bcs_vector(fem: ET.Element) -> BoundaryConditions:
+    """BC surface of the vector-valued modules (elasticity family):
+    <dirichlet-boundary-condition><surface>..<u>ux uy</u>,
+    <dirichlet-point-condition><node>..<u>, <traction-boundary-condition>
+    <surface>..<t>; fem-level <enforce-Dirichlet-method>/<penalty> defaults
+    (reference modules/elasticity/Fem.axl)."""
+    from .bcs import TractionBC
+
+    bcs = BoundaryConditions()
+    method = opt_text(fem, "enforce-Dirichlet-method", "Penalty")
+    penalty = opt_float(fem, "penalty", 1.0e30)
+    for d in fem.findall("dirichlet-boundary-condition"):
+        bcs.dirichlet.append(
+            DirichletBC(
+                surface=_text(d.find("surface")),
+                values=parse_null_vector(_text(d.find("u"))),
+                method=opt_text(d, "enforce-Dirichlet-method", method),
+                penalty=opt_float(d, "penalty", penalty),
+            )
+        )
+    for d in fem.findall("dirichlet-point-condition"):
+        bcs.dirichlet_point.append(
+            DirichletPointBC(
+                node_group=_text(d.find("node")),
+                values=parse_null_vector(_text(d.find("u"))),
+                method=opt_text(d, "enforce-Dirichlet-method", method),
+                penalty=opt_float(d, "penalty", penalty),
+            )
+        )
+    for tr in fem.findall("traction-boundary-condition"):
+        bcs.traction.append(
+            TractionBC(
+                surface=_text(tr.find("surface")),
+                t=parse_null_vector(_text(tr.find("t"))),
+            )
+        )
+    return bcs
+
+
 def parse_solver(fem: ET.Element) -> SolverOptions:
     opts = SolverOptions()
     ls = fem.find("linear-system")
     if ls is None:
+        # no <linear-system> means the Aleph default backend with
+        # epsilon=1e-15 (AlephDoFLinearSystem.cc:346-378); run tight
+        opts.rtol = 1.0e-12
         return opts
     name = ls.get("name", "")
     if name == "SequentialBasicLinearSystem":
@@ -149,6 +202,11 @@ def parse_solver(fem: ET.Element) -> SolverOptions:
             # Aleph epsilon 1e-15 is an absolute-ish tolerance; we keep a
             # tight relative tolerance for golden-file parity
             opts.rtol = max(eps, 1.0e-12)
+    method = opt_text(ls, "solver-method")
+    if method in ("bicgstab", "bicgstab2", "gmres"):
+        # nonsymmetric Krylov requests (AlephDoFLinearSystemFactory.axl
+        # solver-method) map onto the on-device BiCGStab backend
+        opts.method = "bicgstab"
     return opts
 
 

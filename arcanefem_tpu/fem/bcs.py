@@ -33,6 +33,16 @@ class DirichletPointBC:
 
 
 @dataclass
+class TractionBC:
+    """Vector surface load `<traction-boundary-condition><t>tx ty [tz]</t>`
+    (reference modules/elasticity/FemModule.cc traction assembly: each face
+    node gets t_c * measure / n_face_nodes per component; NULL = 0)."""
+
+    surface: str
+    t: tuple = (None, None, None)
+
+
+@dataclass
 class NeumannBC:
     surface: str
     value: float | None = None
@@ -64,6 +74,7 @@ class BoundaryConditions:
     dirichlet: list[DirichletBC] = field(default_factory=list)
     dirichlet_point: list[DirichletPointBC] = field(default_factory=list)
     neumann: list[NeumannBC] = field(default_factory=list)
+    traction: list[TractionBC] = field(default_factory=list)
     manufactured: ManufacturedSolution | None = None
 
 

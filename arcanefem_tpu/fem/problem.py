@@ -148,6 +148,58 @@ class FemProblem:
             rhs = rhs.at[dofs].add(contrib)
         return rhs
 
+    def vector_source_rhs(
+        self, rhs: jnp.ndarray, f: tuple
+    ) -> jnp.ndarray:
+        """Body-force rhs[node*b+c] += f_c * measure / npc per cell
+        (reference modules/elasticity/FemModule.cc:230-241); None = skip."""
+        for ctype, conn in self.mesh.cells.items():
+            xyz = self.cell_xyz(ctype)
+            meas = elements.measure(ctype, xyz)
+            npc = conn.shape[1]
+            flat_nodes = conn.reshape(-1)
+            for c, fc in enumerate(f):
+                if fc is None or c >= self.ndof:
+                    continue
+                contrib = jnp.repeat(fc * meas / npc, npc)
+                rhs = rhs.at[jnp.asarray(self.dof_ids(flat_nodes, c))].add(contrib)
+        return rhs
+
+    def traction_rhs(
+        self, rhs: jnp.ndarray, group: str, t: tuple
+    ) -> jnp.ndarray:
+        """Traction rhs[node*b+c] += t_c * measure / n_face_nodes per face
+        (reference modules/elasticity/FemModule.cc:246-272)."""
+        for ftype, conn in self.mesh.face_groups[group].items():
+            xyz = self.face_xyz(conn)
+            meas = _FACE_MEASURE[ftype](xyz)
+            nfn = conn.shape[1]
+            flat_nodes = conn.reshape(-1)
+            for c, tc in enumerate(t):
+                if tc is None or c >= self.ndof:
+                    continue
+                contrib = jnp.repeat(tc * meas / nfn, nfn)
+                rhs = rhs.at[jnp.asarray(self.dof_ids(flat_nodes, c))].add(contrib)
+        return rhs
+
+    def apply_dirichlet_vector(
+        self,
+        system: LinearSystem,
+        nodes: np.ndarray,
+        values: tuple,
+        method: str = "Penalty",
+        penalty: float = 1.0e30,
+    ) -> None:
+        """Per-component vector Dirichlet: component c is constrained only
+        when values[c] is not None (the reference's NULL components,
+        modules/elasticity/FemModule.cc:299-400)."""
+        for c, v in enumerate(values):
+            if v is None or c >= self.ndof:
+                continue
+            self.apply_dirichlet(
+                system, self.dof_ids(nodes, c), v, method, penalty
+            )
+
     def oriented_group(self, name: str) -> dict[str, np.ndarray]:
         """Outward-oriented face connectivity for a boundary group."""
         if name not in self._oriented_faces:
