@@ -18,7 +18,9 @@ _REGISTRY: dict[str, Callable] = {}
 
 def register(codename: str):
     def deco(fn):
-        _REGISTRY[codename] = fn
+        # case-insensitive: reference case files are inconsistent
+        # (codename="aerodynamics" vs "Poisson")
+        _REGISTRY[codename.lower()] = fn
         return fn
 
     return deco
@@ -29,16 +31,17 @@ def run_case(path: str, dtype=None, mesh_root: str | None = None, **kw):
     import numpy as np
 
     case = load_case(path, mesh_root=mesh_root)
-    if case.codename not in _REGISTRY:
+    key = (case.codename or "").lower()
+    if key not in _REGISTRY:
         # import model modules lazily so registration side-effects run
         from .. import models  # noqa: F401
         from ..models import _ALL  # triggers imports
 
         _ = _ALL
-    if case.codename not in _REGISTRY:
+    if key not in _REGISTRY:
         raise KeyError(
             f"no model registered for codename '{case.codename}' "
             f"(have: {sorted(_REGISTRY)})"
         )
     mesh = read_msh(case.mesh_file)
-    return _REGISTRY[case.codename](case, mesh, dtype=dtype or np.float64, **kw)
+    return _REGISTRY[key](case, mesh, dtype=dtype or np.float64, **kw)

@@ -1,6 +1,16 @@
 """Physics models (the reference's modules/*, SURVEY.md §2.2)."""
 
-from . import poisson  # noqa: F401
-from . import elasticity  # noqa: F401
+from . import (  # noqa: F401
+    acoustics,
+    aerodynamics,
+    bilaplacian,
+    elasticity,
+    electrostatics,
+    fourier,
+    poisson,
+)
 
-_ALL = ["poisson", "elasticity"]
+_ALL = [
+    "poisson", "elasticity", "fourier", "electrostatics", "acoustics",
+    "aerodynamics", "bilaplacian",
+]

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .geometry import (
+    quad4_area,
     quad4_gradients,
     tria3_area,
     tria3_gradients,
@@ -48,11 +49,23 @@ def stiffness_tetra4(xyz: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def stiffness_quad4(xyz: jnp.ndarray) -> jnp.ndarray:
+    """One-point quad4 Laplacian: area·(dx⊗dx + dy⊗dy)
+    (reference modules/fourier/FemModule.cc:237-245)."""
+    area = quad4_area(xyz)
+    dx, dy = quad4_gradients(xyz)
+    return area[:, None, None] * (
+        dx[:, :, None] * dx[:, None, :] + dy[:, :, None] * dy[:, None, :]
+    )
+
+
 def stiffness(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
     if cell_type == "tria3":
         return stiffness_tria3(xyz)
     if cell_type == "tetra4":
         return stiffness_tetra4(xyz)
+    if cell_type == "quad4":
+        return stiffness_quad4(xyz)
     raise ValueError(f"no stiffness kernel for cell type '{cell_type}'")
 
 
@@ -97,6 +110,8 @@ def measure(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
         return tria3_area(xyz)
     if cell_type == "tetra4":
         return tetra4_volume(xyz)
+    if cell_type == "quad4":
+        return quad4_area(xyz)
     raise ValueError(f"no measure kernel for cell type '{cell_type}'")
 
 

@@ -86,6 +86,11 @@ def quad4_area2_signed(xyz: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def quad4_area(xyz: jnp.ndarray) -> jnp.ndarray:
+    """Unsigned quad area (computeAreaQuad4, ArcaneFemFunctions.h)."""
+    return 0.5 * jnp.abs(quad4_area2_signed(xyz))
+
+
 def quad4_gradients(xyz: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One-point quad4 gradient vectors (ArcaneFemFunctions.h:585-640)."""
     x, y = xyz[..., 0], xyz[..., 1]
