@@ -126,6 +126,35 @@ class FemProblem:
             lambda ct, xyz: coef * elements.stiffness(ct, xyz)
         )
 
+    def add_face_matrix(
+        self,
+        A: BellMatrix,
+        group: str,
+        face_fn: Callable[[str, jnp.ndarray], jnp.ndarray],
+        comp: int = 0,
+    ) -> BellMatrix:
+        """Add boundary-element matrices (e.g. convection h·∫uv on EDGE2,
+        reference modules/heat/FemModule.cc:225-227; paraxial terms in
+        soildynamics) into the assembled matrix.
+
+        face_fn(ftype, xyz) -> (nf, nfn, nfn) scalar blocks added at
+        component `comp`, or (nf, nfn, nfn, b, b) full blocks.
+        """
+        from ..sparse.topology import face_dof_slots
+
+        flat = A.flat_values()
+        for ftype, conn in self.mesh.face_groups[group].items():
+            ke = face_fn(ftype, self.face_xyz(conn))
+            nfn = conn.shape[1]
+            rows = np.repeat(conn, nfn, axis=1).reshape(-1)
+            cols = np.tile(conn, (1, nfn)).reshape(-1)
+            slots = jnp.asarray(face_dof_slots(self.topo, rows, cols))
+            if ke.ndim == 3:
+                flat = flat.at[slots, comp, comp].add(ke.reshape(-1))
+            else:
+                flat = flat.at[slots].add(ke.reshape(-1, self.ndof, self.ndof))
+        return A.with_values(flat)
+
     def new_system(self, matrix: BellMatrix, options: SolverOptions | None = None) -> LinearSystem:
         rhs = jnp.zeros(self.n_dofs, matrix.values.dtype)
         return LinearSystem(

@@ -5,12 +5,14 @@ from . import (  # noqa: F401
     aerodynamics,
     bilaplacian,
     elasticity,
+    elastodynamics,
     electrostatics,
     fourier,
+    heat,
     poisson,
 )
 
 _ALL = [
     "poisson", "elasticity", "fourier", "electrostatics", "acoustics",
-    "aerodynamics", "bilaplacian",
+    "aerodynamics", "bilaplacian", "heat", "elastodynamics",
 ]

@@ -1,0 +1,203 @@
+"""Transient heat conduction: ∂T/∂t − λΔT = qdot, implicit Euler.
+
+TPU-native rebuild of reference modules/heat: element matrix λS + M/dt
+(FemModule.cc:679-770), convection boundary matrix h·(edge mass)
+(FemModule.cc:629-673), per-step RHS with *lumped* T_old/dt
+(FemModule.cc:487-493), convection flux h·Text·L/2 and Neumann flux, time
+loop until t ≥ tmax (FemModule.cc:114-119).
+
+TPU-first inversion of the reference's loop: the matrix is assembled and
+BC-finalized ONCE (the reference rebuilds it every step); each step only
+rebuilds the RHS and re-runs the jit-cached PCG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.bcs import BoundaryConditions, dtype_safe_penalty
+from ..fem.problem import FemProblem
+from ..fem.timer import PhaseTimer
+from ..fem.validation import check_node_results
+from ..mesh.core import Mesh
+from ..ops import elements
+from ..solver.linear_system import SolverOptions, solve_finalized
+from ..solver.iterative import make_precond
+
+
+@dataclass
+class ConvectionBC:
+    surface: str
+    h: float
+    Text: float
+
+
+@dataclass
+class HeatConfig:
+    lam: float = 1.0
+    qdot: float | None = None
+    Tinit: float = 0.0
+    dt: float = 0.1
+    tmax: float = 1.0
+    bcs: BoundaryConditions = field(default_factory=BoundaryConditions)
+    convection: list[ConvectionBC] = field(default_factory=list)
+    solver: SolverOptions = field(default_factory=SolverOptions)
+    result_file: str | None = None
+    result_epsilon: float = 1.0e-4
+
+
+@dataclass
+class HeatResult:
+    T: np.ndarray  # final temperature
+    history: list  # [(t, T) snapshots] — empty unless keep_history
+    steps: int
+    problem: FemProblem
+
+
+def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
+          timer: PhaseTimer | None = None, keep_history: bool = False) -> HeatResult:
+    timer = timer or PhaseTimer(verbose=False)
+    with timer.phase("initialize"):
+        prob = FemProblem(mesh, ndof=1, dtype=dtype)
+
+    dt = config.dt
+    with timer.phase("lhs-matrix-assembly"):
+        A = prob.assemble_matrix(
+            lambda ct, xyz: config.lam * elements.stiffness(ct, xyz)
+            + elements.mass(ct, xyz) / dt
+        )
+        for cv in config.convection:
+            A = prob.add_face_matrix(
+                A, cv.surface,
+                lambda ft, xyz, h=cv.h: h * elements.edge2_mass(xyz),
+            )
+
+    # freeze BCs into the matrix once
+    system = prob.new_system(A, config.solver)
+    pen_rows = []
+    for bc in config.bcs.dirichlet:
+        pen = dtype_safe_penalty(bc.penalty, dtype)
+        dofs = prob.group_dofs(bc.surface)
+        prob.apply_dirichlet(system, dofs, bc.value, bc.method, pen)
+        pen_rows.append((dofs, bc.value, pen, bc.method))
+    # Finalize the matrix once; capture the BC rhs pieces so each step's
+    # fresh RHS gets the same treatment: rows eliminated by Row/RowColumn
+    # elimination take their fixed value, and the row-column correction
+    # (rhs_i -= A[i,j]·g_j, AlephDoFLinearSystem.cc:540-565) — computed by
+    # apply_bcs on a zero rhs — is re-added to every step's RHS.
+    A_bc, rhs_bc0 = system.finalized()  # system.rhs is zero at this point
+    elim_mask = np.zeros(prob.n_dofs, bool)
+    for op in system.ops:
+        if op.kind in ("row", "rowcol"):
+            elim_mask[np.asarray(op.dofs)] = True
+    elim_mask = jnp.asarray(elim_mask)
+    # row-column rhs correction only (penalty rows carry P·g in rhs_bc0 and
+    # are overridden per step by dir_val instead)
+    rhs_corr = jnp.where(elim_mask, 0.0, rhs_bc0)
+    forced_mask = np.zeros(prob.n_dofs, bool)
+    for op in system.ops:
+        if op.kind == "forced":
+            forced_mask[np.asarray(op.dofs)] = True
+    rhs_corr = jnp.where(jnp.asarray(forced_mask), 0.0, rhs_corr)
+    M = make_precond(A_bc, config.solver.preconditioner)
+
+    # constant RHS pieces: neumann + convection h*Text (FemModule.cc:497-534)
+    rhs_const = jnp.zeros(prob.n_dofs, dtype)
+    for nm in config.bcs.neumann:
+        if nm.value is not None:
+            rhs_const = prob.neumann_rhs(rhs_const, nm.surface, value=nm.value)
+    for cv in config.convection:
+        rhs_const = prob.neumann_rhs(rhs_const, cv.surface, value=cv.h * cv.Text)
+    if config.qdot is not None:
+        rhs_const = rhs_const + prob.constant_source_rhs(config.qdot)
+
+    # lumped nodal measure: rhs += T_old/dt * (sum of cell measure/npc)
+    lumped = np.zeros(prob.n_dofs, np.float64)
+    for ct, conn in mesh.cells.items():
+        meas = np.asarray(elements.measure(ct, prob.cell_xyz(ct)))
+        npc = conn.shape[1]
+        np.add.at(lumped, conn.reshape(-1), np.repeat(meas / npc, npc))
+    lumped = jnp.asarray(lumped.astype(dtype))
+
+    # per-step penalty rhs overrides (elimination rows are handled by
+    # elim_mask/rhs_bc0 above)
+    dir_mask = np.zeros(prob.n_dofs, bool)
+    dir_val = np.zeros(prob.n_dofs, np.float64)
+    for dofs, value, pen, method in pen_rows:
+        if method in ("Penalty", "WeakPenalty"):
+            dir_mask[dofs] = True
+            dir_val[dofs] = pen * value
+    dir_mask = jnp.asarray(dir_mask)
+    dir_val = jnp.asarray(dir_val.astype(dtype))
+
+    T = jnp.full(prob.n_dofs, config.Tinit, dtype)
+    t = 0.0
+    steps = 0
+    history = []
+    with timer.phase("time-loop"):
+        while t < config.tmax:
+            rhs = rhs_const + lumped * T / dt
+            rhs = jnp.where(dir_mask, dir_val, rhs + rhs_corr)
+            rhs = jnp.where(elim_mask, rhs_bc0, rhs)
+            T, info = solve_finalized(A_bc, rhs, config.solver, x0=T, precond=M)
+            t += dt
+            steps += 1
+            if keep_history:
+                history.append((t, np.asarray(T)))
+
+    Tf = prob.node_values(T)[:, 0]
+    if config.result_file:
+        with timer.phase("result-validation"):
+            check_node_results(
+                mesh.node_uids, Tf, config.result_file, config.result_epsilon
+            )
+    return HeatResult(T=Tf, history=history, steps=steps, problem=prob)
+
+
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+    from ..fem.arc import opt_float, opt_text
+    from ..fem.bcs import DirichletBC
+
+    bcs = BoundaryConditions()
+    method = opt_text(case.fem, "enforce-Dirichlet-method", "Penalty")
+    for d in case.fem.findall("dirichlet-boundary-condition"):
+        bcs.dirichlet.append(
+            DirichletBC(
+                surface=opt_text(d, "surface"),
+                value=opt_float(d, "value", 0.0),
+                method=opt_text(d, "enforce-Dirichlet-method", method),
+                penalty=opt_float(case.fem, "penalty", 1.0e30),
+            )
+        )
+    convection = [
+        ConvectionBC(
+            surface=opt_text(c, "surface"),
+            h=opt_float(c, "h", 1.0),
+            Text=opt_float(c, "Text", 0.0),
+        )
+        for c in case.fem.findall("convection-boundary-condition")
+    ]
+    cfg = HeatConfig(
+        lam=opt_float(case.fem, "lambda", 1.0),
+        qdot=opt_float(case.fem, "qdot"),
+        Tinit=opt_float(case.fem, "Tinit", 0.0),
+        dt=opt_float(case.fem, "dt", 0.1),
+        tmax=opt_float(case.fem, "tmax", 1.0),
+        bcs=bcs,
+        convection=convection,
+        solver=case.solver,
+        result_file=case.result_file if check else None,
+    )
+    return solve(mesh, cfg, dtype=dtype)
+
+
+def _register():
+    from ..fem.runner import register
+
+    register("Heat")(_run_arc)
+
+
+_register()

@@ -115,6 +115,53 @@ def measure(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(f"no measure kernel for cell type '{cell_type}'")
 
 
+def _grad_stack(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
+    """(nc, npc, d) stacked shape gradients."""
+    return jnp.stack(gradients(cell_type, xyz), axis=-1)
+
+
+def divdiv(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Unit-coefficient ∫(div u)(div v) vector blocks (nc,npc,npc,d,d):
+    D[i,j,a,b] = meas · g[i,a] g[j,b].  The λ-part of the elasticity
+    operator (reference elastodynamics RHS c5/c7/c8 terms,
+    modules/elastodynamics/FemModule.cc:816-870)."""
+    g = _grad_stack(cell_type, xyz)
+    m = measure(cell_type, xyz)
+    return m[:, None, None, None, None] * jnp.einsum("nia,njb->nijab", g, g)
+
+
+def epseps(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Unit-coefficient ∫ε(u):ε(v) vector blocks (nc,npc,npc,d,d):
+    E[i,j,a,b] = meas/2 · (g[i,b] g[j,a] + δ_ab g_i·g_j).  The 2μ-part
+    (c6/c9/c10 terms).  Note λ·divdiv + 2μ·epseps == elasticity blocks."""
+    g = _grad_stack(cell_type, xyz)
+    m = measure(cell_type, xyz)
+    d = g.shape[-1]
+    t1 = jnp.einsum("nib,nja->nijab", g, g)
+    dot = jnp.einsum("nic,njc->nij", g, g)
+    eye = jnp.eye(d, dtype=g.dtype)
+    return 0.5 * m[:, None, None, None, None] * (
+        t1 + dot[:, :, :, None, None] * eye[None, None, None]
+    )
+
+
+def mass_blocks(cell_type: str, xyz: jnp.ndarray, ndof: int) -> jnp.ndarray:
+    """Consistent mass as vector blocks m_ij · I_ndof (nc,npc,npc,b,b)."""
+    m = mass(cell_type, xyz)
+    eye = jnp.eye(ndof, dtype=xyz.dtype)
+    return m[:, :, :, None, None] * eye[None, None, None]
+
+
+def edge2_mass(xyz: jnp.ndarray) -> jnp.ndarray:
+    """Boundary-edge mass L/6·(1+δij) (nf,2,2): the convection matrix core
+    (reference modules/heat/FemModule.cc:629-673, scaled there by h)."""
+    from .geometry import edge2_length
+
+    L = edge2_length(xyz)
+    m = (jnp.ones((2, 2), xyz.dtype) + jnp.eye(2, dtype=xyz.dtype)) / 6.0
+    return L[:, None, None] * m[None]
+
+
 def elasticity_tria3(
     xyz: jnp.ndarray, lam: jnp.ndarray, mu2: jnp.ndarray
 ) -> jnp.ndarray:

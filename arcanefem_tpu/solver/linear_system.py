@@ -209,6 +209,7 @@ def solve_finalized(
     b: jnp.ndarray,
     options: SolverOptions,
     x0: jnp.ndarray | None = None,
+    precond=None,
 ):
     """Dispatch on backend. Returns (x, info dict)."""
     if options.method == "dense":
@@ -216,7 +217,7 @@ def solve_finalized(
         x = jnp.linalg.solve(dense, b)
         return x, {"iterations": 1, "residual": 0.0}
 
-    M = make_precond(A, options.preconditioner)
+    M = precond if precond is not None else make_precond(A, options.preconditioner)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     use_precise = options.precise_dot and b.dtype == jnp.float32
