@@ -1,0 +1,63 @@
+"""Frozen boundary conditions for transient loops.
+
+The reference rebuilds matrix + BCs every time step (elastodynamics
+FemModule.cc:144-158).  TPU-first inversion: freeze the BC-modified matrix
+once, and give each step's freshly built RHS the same treatment:
+
+* penalty rows are overridden with P·g,
+* Row/RowColumn-eliminated rows take their fixed value,
+* the RowColumn correction (rhs_i -= A_ij·g_j, AlephDoFLinearSystem.cc:
+  540-565) — captured once by finalizing against a zero RHS — is re-added.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..solver.linear_system import LinearSystem
+from ..sparse.bell import BellMatrix
+
+
+@dataclass
+class FrozenBC:
+    A: BellMatrix  # BC-finalized matrix
+    pen_mask: jnp.ndarray
+    pen_val: jnp.ndarray
+    elim_mask: jnp.ndarray
+    elim_rhs: jnp.ndarray
+    rhs_corr: jnp.ndarray
+
+    def apply(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        """Per-step RHS treatment (jit-safe)."""
+        rhs = jnp.where(self.pen_mask, self.pen_val, rhs + self.rhs_corr)
+        return jnp.where(self.elim_mask, self.elim_rhs, rhs)
+
+
+def freeze_bcs(system: LinearSystem) -> FrozenBC:
+    """Finalize a system whose rhs currently holds only BC-written values
+    (penalty P·g rows); capture masks for per-step application."""
+    A_bc, rhs_bc0 = system.finalized()
+    n = A_bc.n_dofs
+    elim_mask = np.zeros(n, bool)
+    pen_mask = np.zeros(n, bool)
+    for op in system.ops:
+        if op.kind in ("row", "rowcol"):
+            elim_mask[np.asarray(op.dofs)] = True
+        else:
+            pen_mask[np.asarray(op.dofs)] = True
+    elim_j = jnp.asarray(elim_mask)
+    pen_j = jnp.asarray(pen_mask)
+    # rhs_bc0 on penalty rows = P·g (written by apply_dirichlet); on
+    # eliminated rows = g; elsewhere = the RowColumn correction
+    rhs_corr = jnp.where(elim_j | pen_j, 0.0, rhs_bc0)
+    return FrozenBC(
+        A=A_bc,
+        pen_mask=pen_j,
+        pen_val=jnp.where(pen_j, rhs_bc0, 0.0),
+        elim_mask=elim_j,
+        elim_rhs=jnp.where(elim_j, rhs_bc0, 0.0),
+        rhs_corr=rhs_corr,
+    )

@@ -10,9 +10,10 @@ from . import (  # noqa: F401
     fourier,
     heat,
     poisson,
+    soildynamics,
 )
 
 _ALL = [
     "poisson", "elasticity", "fourier", "electrostatics", "acoustics",
-    "aerodynamics", "bilaplacian", "heat", "elastodynamics",
+    "aerodynamics", "bilaplacian", "heat", "elastodynamics", "soildynamics",
 ]

@@ -186,18 +186,10 @@ def solve(mesh: Mesh, cfg: ElastodynamicsConfig, dtype=np.float64,
             dir_mask[dofs] = True
             dir_gval[dofs] = v
 
-    A_bc, rhs_bc0 = system.finalized()
-    elim_mask = np.zeros(prob.n_dofs, bool)
-    forced_mask = np.zeros(prob.n_dofs, bool)
-    for op in system.ops:
-        if op.kind in ("row", "rowcol"):
-            elim_mask[np.asarray(op.dofs)] = True
-        else:
-            forced_mask[np.asarray(op.dofs)] = True
-    elim_j = jnp.asarray(elim_mask)
-    rhs_corr = jnp.where(elim_j | jnp.asarray(forced_mask), 0.0, rhs_bc0)
-    pen_mask = jnp.asarray(forced_mask)
-    pen_val = jnp.asarray((pen * dir_gval).astype(dtype))
+    from ..fem.transient import freeze_bcs
+
+    fbc = freeze_bcs(system)
+    A_bc = fbc.A
     M_pre = make_precond(A_bc, cfg.solver.preconditioner)
 
     # constant rhs pieces
@@ -223,9 +215,7 @@ def solve(mesh: Mesh, cfg: ElastodynamicsConfig, dtype=np.float64,
         rhs = rhs + Mm.spmv(mass_c[0] * U + mass_c[1] * V + mass_c[2] * Acc)
         rhs = rhs + Dm.spmv(div_c[0] * U + div_c[1] * V + div_c[2] * Acc)
         rhs = rhs + Em.spmv(eps_c[0] * U + eps_c[1] * V + eps_c[2] * Acc)
-        rhs = jnp.where(pen_mask, pen_val, rhs + rhs_corr)
-        rhs = jnp.where(elim_j, rhs_bc0, rhs)
-        return rhs
+        return fbc.apply(rhs)
 
     @jax.jit
     def newmark_update(dU, U, V, Acc):

@@ -75,33 +75,16 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
                 lambda ft, xyz, h=cv.h: h * elements.edge2_mass(xyz),
             )
 
-    # freeze BCs into the matrix once
+    # freeze BCs into the matrix once (fem/transient.py)
+    from ..fem.transient import freeze_bcs
+
     system = prob.new_system(A, config.solver)
-    pen_rows = []
     for bc in config.bcs.dirichlet:
         pen = dtype_safe_penalty(bc.penalty, dtype)
         dofs = prob.group_dofs(bc.surface)
         prob.apply_dirichlet(system, dofs, bc.value, bc.method, pen)
-        pen_rows.append((dofs, bc.value, pen, bc.method))
-    # Finalize the matrix once; capture the BC rhs pieces so each step's
-    # fresh RHS gets the same treatment: rows eliminated by Row/RowColumn
-    # elimination take their fixed value, and the row-column correction
-    # (rhs_i -= A[i,j]·g_j, AlephDoFLinearSystem.cc:540-565) — computed by
-    # apply_bcs on a zero rhs — is re-added to every step's RHS.
-    A_bc, rhs_bc0 = system.finalized()  # system.rhs is zero at this point
-    elim_mask = np.zeros(prob.n_dofs, bool)
-    for op in system.ops:
-        if op.kind in ("row", "rowcol"):
-            elim_mask[np.asarray(op.dofs)] = True
-    elim_mask = jnp.asarray(elim_mask)
-    # row-column rhs correction only (penalty rows carry P·g in rhs_bc0 and
-    # are overridden per step by dir_val instead)
-    rhs_corr = jnp.where(elim_mask, 0.0, rhs_bc0)
-    forced_mask = np.zeros(prob.n_dofs, bool)
-    for op in system.ops:
-        if op.kind == "forced":
-            forced_mask[np.asarray(op.dofs)] = True
-    rhs_corr = jnp.where(jnp.asarray(forced_mask), 0.0, rhs_corr)
+    fbc = freeze_bcs(system)
+    A_bc = fbc.A
     M = make_precond(A_bc, config.solver.preconditioner)
 
     # constant RHS pieces: neumann + convection h*Text (FemModule.cc:497-534)
@@ -122,26 +105,13 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
         np.add.at(lumped, conn.reshape(-1), np.repeat(meas / npc, npc))
     lumped = jnp.asarray(lumped.astype(dtype))
 
-    # per-step penalty rhs overrides (elimination rows are handled by
-    # elim_mask/rhs_bc0 above)
-    dir_mask = np.zeros(prob.n_dofs, bool)
-    dir_val = np.zeros(prob.n_dofs, np.float64)
-    for dofs, value, pen, method in pen_rows:
-        if method in ("Penalty", "WeakPenalty"):
-            dir_mask[dofs] = True
-            dir_val[dofs] = pen * value
-    dir_mask = jnp.asarray(dir_mask)
-    dir_val = jnp.asarray(dir_val.astype(dtype))
-
     T = jnp.full(prob.n_dofs, config.Tinit, dtype)
     t = 0.0
     steps = 0
     history = []
     with timer.phase("time-loop"):
         while t < config.tmax:
-            rhs = rhs_const + lumped * T / dt
-            rhs = jnp.where(dir_mask, dir_val, rhs + rhs_corr)
-            rhs = jnp.where(elim_mask, rhs_bc0, rhs)
+            rhs = fbc.apply(rhs_const + lumped * T / dt)
             T, info = solve_finalized(A_bc, rhs, config.solver, x0=T, precond=M)
             t += dt
             steps += 1
