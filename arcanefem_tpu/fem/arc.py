@@ -35,6 +35,9 @@ class ArcCase:
     mesh_file: str
     fem: ET.Element
     base_dir: str  # module root (for check/ result files)
+    # mesh <initialization> variables: name -> [(cell group, value)]
+    # (passmo's per-region Rho/Lambda/Mu, inputs/bar2d_tria.arc)
+    mesh_init: dict = field(default_factory=dict)
 
     # parsed generic pieces
     bcs: BoundaryConditions = field(default_factory=BoundaryConditions)
@@ -244,7 +247,18 @@ def load_case(path: str, mesh_root: str | None = None) -> ArcCase:
 
     fem = root.find("fem")
     if fem is None:
-        raise ValueError(f"{path}: no <fem> element")
+        fem = root.find("elastodynamic")  # passmo module root element
+    if fem is None:
+        raise ValueError(f"{path}: no <fem>/<elastodynamic> element")
+
+    mesh_init: dict = {}
+    if meshes is not None and meshes.find("mesh") is not None:
+        init = meshes.find("mesh").find("initialization")
+        if init is not None:
+            for v in init.findall("variable"):
+                mesh_init.setdefault(_text(v.find("name")), []).append(
+                    (_text(v.find("group")), float(_text(v.find("value"))))
+                )
 
     case = ArcCase(
         codename=codename,
@@ -252,10 +266,16 @@ def load_case(path: str, mesh_root: str | None = None) -> ArcCase:
         mesh_file=resolved,
         fem=fem,
         base_dir=base_dir,
+        mesh_init=mesh_init,
     )
     case.bcs = parse_bcs(fem.find("boundary-conditions"))
     case.solver = parse_solver(fem)
     rf = opt_text(fem, "result-file")
     if rf:
-        case.result_file = os.path.join(base_dir, rf)
+        cands = [
+            os.path.join(base_dir, rf),
+            os.path.join(base_dir, "tests", rf),
+            os.path.join(base_dir, "check", rf),
+        ]
+        case.result_file = next((c for c in cands if os.path.exists(c)), cands[0])
     return case

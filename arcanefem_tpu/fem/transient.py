@@ -35,6 +35,23 @@ class FrozenBC:
         rhs = jnp.where(self.pen_mask, self.pen_val, rhs + self.rhs_corr)
         return jnp.where(self.elim_mask, self.elim_rhs, rhs)
 
+    @property
+    def dirichlet_values(self) -> jnp.ndarray:
+        """g on constrained rows, 0 elsewhere (pen_val is P·g)."""
+        d = self.A.diagonal()
+        g_pen = jnp.where(
+            self.pen_mask, self.pen_val / jnp.where(d == 0, 1.0, d), 0.0
+        )
+        return jnp.where(self.elim_mask, self.elim_rhs, g_pen)
+
+    def warm_start(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Solver initial guess: the state with constrained rows snapped to
+        their imposed values.  Without this, the first iterations' residual
+        is dominated by penalty rows (scale P·|g−x|) and the relative
+        convergence test fires before the interior equations are solved."""
+        mask = self.pen_mask | self.elim_mask
+        return jnp.where(mask, self.dirichlet_values, x)
+
 
 def freeze_bcs(system: LinearSystem) -> FrozenBC:
     """Finalize a system whose rhs currently holds only BC-written values

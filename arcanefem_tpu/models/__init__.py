@@ -9,11 +9,12 @@ from . import (  # noqa: F401
     electrostatics,
     fourier,
     heat,
+    passmo,
     poisson,
     soildynamics,
 )
 
 _ALL = [
     "poisson", "elasticity", "fourier", "electrostatics", "acoustics",
-    "aerodynamics", "bilaplacian", "heat", "elastodynamics", "soildynamics",
+    "aerodynamics", "bilaplacian", "heat", "elastodynamics", "soildynamics", "passmo",
 ]

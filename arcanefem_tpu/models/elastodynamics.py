@@ -240,7 +240,7 @@ def solve(mesh: Mesh, cfg: ElastodynamicsConfig, dtype=np.float64,
                     rhs_t, tr.surface, tuple(float(x) for x in vec[:ndof])
                 )
             rhs = step_rhs(U, V, Acc, rhs_t)
-            dU, info = solve_finalized(A_bc, rhs, cfg.solver, x0=U, precond=M_pre)
+            dU, info = solve_finalized(A_bc, rhs, cfg.solver, x0=fbc.warm_start(U), precond=M_pre)
             U, V, Acc = newmark_update(dU, U, V, Acc)
             t += dt
             steps += 1

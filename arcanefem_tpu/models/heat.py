@@ -112,7 +112,7 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
     with timer.phase("time-loop"):
         while t < config.tmax:
             rhs = fbc.apply(rhs_const + lumped * T / dt)
-            T, info = solve_finalized(A_bc, rhs, config.solver, x0=T, precond=M)
+            T, info = solve_finalized(A_bc, rhs, config.solver, x0=fbc.warm_start(T), precond=M)
             t += dt
             steps += 1
             if keep_history:

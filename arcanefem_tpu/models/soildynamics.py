@@ -236,7 +236,7 @@ def solve(mesh: Mesh, cfg: SoildynamicsConfig, dtype=np.float64,
                 )
             dcf = float(dc.table.value(t)[0]) if dc is not None else 0.0
             rhs = step_rhs(U, V, Acc, rhs_t, dcf)
-            dU, info = solve_finalized(fbc.A, rhs, cfg.solver, x0=U, precond=M_pre)
+            dU, info = solve_finalized(fbc.A, rhs, cfg.solver, x0=fbc.warm_start(U), precond=M_pre)
             U, V, Acc = newmark_update(dU, U, V, Acc)
             t += dt
             steps += 1

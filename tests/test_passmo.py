@@ -1,0 +1,91 @@
+"""Passmo general-element elastodynamics: golden regression + quadrature
+and shape-function unit checks (the FemShapeMethods/GaussQuadrature role)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from arcanefem_tpu.fem.runner import run_case
+from arcanefem_tpu.ops import quadrature as Q
+
+CASES = sorted(glob.glob("/root/reference/modules/passmo/inputs/*.arc"))
+
+
+@pytest.mark.parametrize("arc", CASES, ids=lambda p: p.split("/")[-1])
+def test_passmo_case(arc):
+    """Golden epsilon 1e-4 (ElastodynamicModule.cc _checkResultFile)."""
+    try:
+        r = run_case(arc)
+    except FileNotFoundError as e:
+        pytest.skip(str(e))
+    assert np.all(np.isfinite(r.u))
+
+
+@pytest.mark.parametrize(
+    "ct,vol", [("line2", 2.0), ("tria3", 0.5), ("quad4", 4.0),
+               ("tetra4", 1.0 / 6.0), ("hexa8", 8.0), ("penta6", 1.0),
+               ("pyramid5", 4.0 / 3.0)]
+)
+def test_rule_volume_and_partition_of_unity(ct, vol):
+    _, w = Q.rule(ct)
+    N, dN = Q.shape_tables(ct)
+    np.testing.assert_allclose(w.sum(), vol, rtol=1e-12)
+    np.testing.assert_allclose(N.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(dN.sum(axis=1), 0.0, atol=1e-12)
+
+
+def test_iso_matches_closed_form():
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.ops import elements as E
+
+    rng = np.random.RandomState(0)
+    xyz = rng.rand(20, 3, 3)
+    xyz[:, :, 2] = 0
+    iso = np.asarray(Q.stiffness_blocks_iso("tria3", jnp.asarray(xyz), 3.7, 1.9, 2))
+    ref = np.asarray(E.elasticity_tria3(jnp.asarray(xyz), 3.7, 3.8))
+    np.testing.assert_allclose(iso, ref, rtol=1e-9, atol=1e-11)
+
+    x4 = rng.rand(20, 4, 3)
+    iso = np.asarray(Q.stiffness_blocks_iso("tetra4", jnp.asarray(x4), 3.7, 1.9, 3))
+    ref = np.asarray(E.elasticity_tetra4(jnp.asarray(x4), 3.7, 3.8))
+    np.testing.assert_allclose(iso, ref, rtol=1e-7, atol=1e-9)
+
+    iso = np.asarray(Q.mass_blocks_iso("tetra4", jnp.asarray(x4), 2.5, 3))
+    ref = 2.5 * np.asarray(E.mass_blocks("tetra4", jnp.asarray(x4), 3))
+    np.testing.assert_allclose(iso, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_hexa_stiffness_rigid_body():
+    """K times rigid translations and rotations = 0 for hexa/penta/pyramid."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    for ct, npc in [("hexa8", 8), ("penta6", 6), ("pyramid5", 5)]:
+        base, _ = Q.rule(ct)
+        # build one well-shaped physical element by perturbing its own corners
+        corners = {
+            "hexa8": np.array(
+                [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                 [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], float),
+            "penta6": np.array(
+                [[0, 0, -1], [1, 0, -1], [0, 1, -1],
+                 [0, 0, 1], [1, 0, 1], [0, 1, 1]], float),
+            "pyramid5": np.array(
+                [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0], [0, 0, 1]], float),
+        }[ct]
+        xyz = corners[None] + 0.05 * rng.rand(1, npc, 3)
+        K = np.asarray(
+            Q.stiffness_blocks_iso(ct, jnp.asarray(xyz), 2.0, 1.0, 3)
+        )[0]  # (npc, npc, 3, 3)
+        Kmat = K.transpose(0, 2, 1, 3).reshape(npc * 3, npc * 3)
+        # translations
+        for d in range(3):
+            u = np.zeros((npc, 3)); u[:, d] = 1.0
+            r = Kmat @ u.reshape(-1)
+            assert np.abs(r).max() < 1e-10 * np.abs(Kmat).max()
+        # rotation about z: u = (-y, x, 0)
+        u = np.stack([-xyz[0, :, 1], xyz[0, :, 0], np.zeros(npc)], axis=1)
+        r = Kmat @ u.reshape(-1)
+        assert np.abs(r).max() < 1e-8 * np.abs(Kmat).max()
