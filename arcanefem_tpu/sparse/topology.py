@@ -61,6 +61,7 @@ def build_topology(
     n_nodes: int,
     buckets: dict[str, np.ndarray],
     pad_width_to: int = 1,
+    use_native: bool = True,
 ) -> Topology:
     """Build the node-pair sparsity graph of a mesh.
 
@@ -70,7 +71,27 @@ def build_topology(
     2*nb_edges + nb_nodes for P1 simplices).
 
     pad_width_to: round W up to a multiple (lane-friendly widths help XLA).
+
+    Uses the native C++ builder (native/topology.cpp, the reference's
+    BSRFormat-sparsity role) when available; NumPy fallback otherwise.
     """
+    if use_native and buckets:
+        from ..utils.native import build_topology_native
+
+        out = build_topology_native(n_nodes, buckets, pad_width_to)
+        if out is not None:
+            width, row_ptr, csr_cols, csr_to_ell, diag_slot, ell_cols, ell_valid, smaps = out
+            return Topology(
+                n_nodes=n_nodes,
+                width=int(width),
+                ell_cols=ell_cols,
+                ell_valid=ell_valid,
+                row_ptr=row_ptr.astype(np.int64),
+                csr_cols=csr_cols,
+                csr_to_ell=csr_to_ell,
+                diag_slot=diag_slot,
+                slot_maps=smaps,
+            )
     keys = []
     entry_counts = []
     for conn in buckets.values():
