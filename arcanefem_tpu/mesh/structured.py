@@ -106,6 +106,8 @@ class StructuredBox:
         Tetra4) with the scatter replaced by 96 static slice-adds grouped by
         the 15 stencil offsets.
         """
+        from ..ops.geometry import tetra4_gradients, tetra4_volume
+
         nx, ny, nz = self.nx, self.ny, self.nz
         dtype = coords3d.dtype
         shp = (nx + 1, ny + 1, nz + 1)
@@ -115,15 +117,24 @@ class StructuredBox:
             xyz = jnp.stack(
                 [self._corner_xyz(coords3d, c) for c in tet], axis=1
             )  # (nhex, 4, 3)
-            ke = elements.stiffness_tetra4(xyz).reshape(nx, ny, nz, 4, 4)
+            # per-entry contributions from gradients directly: never
+            # materialize the (nhex, 4, 4) element tensor — each (a, b)
+            # entry is one fused elementwise pass into its band slice
+            vol = tetra4_volume(xyz)
+            gx, gy, gz = tetra4_gradients(xyz)  # (nhex, 4) each
             for a, ca in enumerate(tet):
                 di, dj, dk = _HEX_CORNERS[ca]
                 la = self._lin(_HEX_CORNERS[ca])
                 for b, cb in enumerate(tet):
                     d = self._lin(_HEX_CORNERS[cb]) - la
+                    contrib = vol * (
+                        gx[:, a] * gx[:, b]
+                        + gy[:, a] * gy[:, b]
+                        + gz[:, a] * gz[:, b]
+                    )
                     bands[d] = bands[d].at[
                         di : di + nx, dj : dj + ny, dk : dk + nz
-                    ].add(ke[..., a, b])
+                    ].add(contrib.reshape(nx, ny, nz))
 
         stacked = jnp.stack(
             [bands[d].reshape(-1) for d in self.offsets], axis=0

@@ -156,6 +156,9 @@ class SolverOptions:
     max_iter: int = 1000
     preconditioner: str = "jacobi"  # none | jacobi | block-jacobi
     precise_dot: bool = True  # compensated f32 dots (no-op for f64)
+    # SpMV backend: "xla" (gather) or "pallas" (window kernel on TPU,
+    # sparse/pallas_spmv.py; silently falls back when unavailable)
+    spmv: str = "xla"
 
 
 @dataclass
@@ -217,6 +220,10 @@ def solve_finalized(
         x = jnp.linalg.solve(dense, b)
         return x, {"iterations": 1, "residual": 0.0}
 
+    if options.spmv == "pallas":
+        from ..sparse.pallas_spmv import as_pallas_matrix
+
+        A = as_pallas_matrix(A)
     M = precond if precond is not None else make_precond(A, options.preconditioner)
     if x0 is None:
         x0 = jnp.zeros_like(b)

@@ -47,12 +47,14 @@ def main():
         apply_penalty_dirichlet,
     )
     from arcanefem_tpu.solver.iterative import Precond, pcg
+    from arcanefem_tpu.solver.multigrid import build_mg
 
     platform = jax.devices()[0].platform
     if os.environ.get("BENCH_N"):
         n = int(os.environ["BENCH_N"])
     else:
-        n = 214 if platform == "tpu" else 24  # 215^3 = 9.94M DoF on TPU
+        # 225^3 = 11.39M DoF; 224 = 2^5*7 gives a clean multigrid chain
+        n = 224 if platform == "tpu" else 24
     dtype = jnp.float32
     rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
 
@@ -73,14 +75,23 @@ def main():
     def assemble(c3d):
         return box.assemble_stiffness(c3d)
 
+    precond = os.environ.get("BENCH_PRECOND", "mg")
+
     @jax.jit
     def solve(c3d):
         A = box.assemble_stiffness(c3d)
         rhs = box.source_rhs(c3d, 1.0)
         A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
-        d = A.diagonal()
-        inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
-        M = Precond(data=(inv,), kind="jacobi")
+        if precond == "mg":
+            # geometric-multigrid-preconditioned CG: the BoomerAMG+PCG role
+            # (HypreDoFLinearSystem.cc:686-742); hierarchy setup (coarse
+            # rediscretizations) is traced into this step, so the timed
+            # solve includes the preconditioner setup like Hypre's does.
+            M = build_mg(box, c3d, np.asarray(mask), penalty)
+        else:
+            d = A.diagonal()
+            inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+            M = Precond(data=(inv,), kind="jacobi")
         x0 = jnp.where(mask, gvals, 0.0)
         return pcg(A, rhs, M, x0, rtol, 0.0, 5000, use_precise_dot=True)
 

@@ -1,0 +1,96 @@
+"""Pallas window SpMV: host-side plan logic (CPU) + kernel (TPU only).
+
+The kernel itself needs real TPU hardware (Mosaic dynamic_gather); on CPU
+we validate the window plan geometry and the RCM ordering that feeds it.
+TPU runs are covered by the driver's bench/verify flows.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from arcanefem_tpu.mesh.generate import rect_tria_mesh
+from arcanefem_tpu.sparse.pallas_spmv import LANE, plan_windows
+from arcanefem_tpu.sparse.topology import build_topology
+from arcanefem_tpu.utils.ordering import rcm_order, renumber_mesh
+
+
+def _rcm_mesh(n=60):
+    mesh = rect_tria_mesh(n, n)
+    t = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    return renumber_mesh(mesh, rcm_order(mesh.n_nodes, t.row_ptr, t.csr_cols))
+
+
+def test_rcm_reduces_bandwidth():
+    mesh = rect_tria_mesh(60, 60)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    bw0 = np.abs(
+        t0.ell_cols - np.arange(mesh.n_nodes)[:, None]
+    ).max()
+    mesh2 = renumber_mesh(mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols))
+    t1 = build_topology(mesh2.n_nodes, mesh2.cells)
+    bw1 = np.abs(t1.ell_cols - np.arange(mesh2.n_nodes)[:, None]).max()
+    assert bw1 <= bw0
+    assert bw1 < 3 * 61  # ~O(sqrt(N)) for a grid
+
+
+def test_rcm_solution_invariant():
+    """Renumbering must not change the physics (golden-keyed by uid)."""
+    from arcanefem_tpu.fem.bcs import BoundaryConditions, DirichletBC
+    from arcanefem_tpu.models import poisson
+
+    bcs = BoundaryConditions(
+        dirichlet=[DirichletBC("left", 0.0), DirichletBC("right", 1.0)]
+    )
+    cfg = poisson.PoissonConfig(f=1.0, bcs=bcs)
+    mesh = rect_tria_mesh(12, 9)
+    r0 = poisson.solve(mesh, cfg)
+    t = build_topology(mesh.n_nodes, mesh.cells)
+    perm = rcm_order(mesh.n_nodes, t.row_ptr, t.csr_cols)
+    r1 = poisson.solve(renumber_mesh(mesh, perm), cfg)
+    # new-order node i corresponds to old node perm[i]
+    np.testing.assert_allclose(r0.u[perm], r1.u, rtol=1e-9, atol=1e-12)
+
+
+def test_window_plan_geometry():
+    mesh = _rcm_mesh()
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    plan = plan_windows(topo, block_rows=512)
+    assert plan is not None
+    assert plan.window % (8 * LANE) == 0
+    n, W = topo.n_nodes, topo.width
+    nb, R = plan.n_blocks, plan.block_rows
+    assert nb * R >= n
+    # every localized column must be inside its block's window
+    assert plan.lcols.min() >= 0
+    assert plan.lcols.max() < plan.window
+    # reconstruction: lo*LANE + lcols == original cols (for real rows)
+    flat = plan.lcols.reshape(nb, R * W) + (plan.lo.astype(np.int64) * LANE)[:, None]
+    rec = flat.reshape(nb * R, W)[:n]
+    np.testing.assert_array_equal(rec, topo.ell_cols)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU"
+)
+def test_kernel_matches_xla_on_tpu():
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.ops import elements
+    from arcanefem_tpu.sparse.pallas_spmv import PallasBellSpmv
+
+    mesh = _rcm_mesh(120)
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    sp = PallasBellSpmv(topo)
+    assert sp.available
+    coords = jnp.asarray(mesh.coords.astype(np.float32))
+    ke = elements.stiffness_tria3(coords[jnp.asarray(mesh.cells["tria3"])])
+    vals = jax.ops.segment_sum(
+        ke.reshape(-1), jnp.asarray(topo.slot_maps["tria3"].reshape(-1)),
+        num_segments=topo.n_slots,
+    ).reshape(topo.n_nodes, topo.width)
+    x = jnp.asarray(np.random.RandomState(0).rand(mesh.n_nodes).astype(np.float32))
+    y = np.asarray(sp(vals, x))
+    yref = np.asarray(jnp.sum(vals * x[jnp.asarray(topo.ell_cols)], axis=1))
+    np.testing.assert_allclose(y, yref, rtol=1e-6, atol=1e-6)
