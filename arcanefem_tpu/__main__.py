@@ -1,0 +1,56 @@
+"""CLI: run reference .arc cases or the assembly lab.
+
+The role of the reference's per-module executables + ArcaneLauncher
+(modules/*/main.cc): `python -m arcanefem_tpu run <case.arc>` dispatches on
+the case's codename exactly like the Arcane time-loop registration does.
+
+    python -m arcanefem_tpu run inputs/circle.2D.arc [--f32] [--no-check]
+    python -m arcanefem_tpu testlab --box 40 --cross-validate
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    p = argparse.ArgumentParser(prog="arcanefem_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a reference .arc case")
+    runp.add_argument("case")
+    runp.add_argument("--f32", action="store_true", help="TPU dtype")
+    runp.add_argument("--no-check", action="store_true",
+                      help="skip golden-file validation")
+    runp.add_argument("--mesh-root", default=None)
+
+    sub.add_parser("testlab", add_help=False)
+
+    if argv and argv[0] == "testlab":
+        from . import testlab
+
+        return testlab.main(argv[1:])
+
+    args = p.parse_args(argv)
+    from .fem.runner import run_case
+
+    res = run_case(
+        args.case,
+        dtype=np.float32 if args.f32 else np.float64,
+        mesh_root=args.mesh_root,
+        check=not args.no_check,
+    )
+    info = {
+        k: v for k, v in vars(res).items()
+        if isinstance(v, (int, float, str))
+    }
+    print(f"done: {type(res).__name__} {info}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,7 +58,9 @@ class HeatResult:
 
 
 def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
-          timer: PhaseTimer | None = None, keep_history: bool = False) -> HeatResult:
+          timer: PhaseTimer | None = None, keep_history: bool = False,
+          T0: np.ndarray | None = None) -> HeatResult:
+    """T0: optional restart temperature field (fem/checkpoint.py)."""
     timer = timer or PhaseTimer(verbose=False)
     with timer.phase("initialize"):
         prob = FemProblem(mesh, ndof=1, dtype=dtype)
@@ -105,7 +107,10 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
         np.add.at(lumped, conn.reshape(-1), np.repeat(meas / npc, npc))
     lumped = jnp.asarray(lumped.astype(dtype))
 
-    T = jnp.full(prob.n_dofs, config.Tinit, dtype)
+    if T0 is not None:
+        T = jnp.asarray(np.asarray(T0).reshape(-1).astype(dtype))
+    else:
+        T = jnp.full(prob.n_dofs, config.Tinit, dtype)
     t = 0.0
     steps = 0
     history = []
