@@ -99,13 +99,27 @@ class StructuredBox:
             di : di + self.nx, dj : dj + self.ny, dk : dk + self.nz
         ].reshape(-1, 3)
 
-    def assemble_stiffness(self, coords3d: jnp.ndarray) -> DiaMatrix:
+    def assemble_stiffness(self, coords3d: jnp.ndarray, backend: str = "auto") -> DiaMatrix:
         """Stencil assembly: batched tet kernels + static slice-adds.
 
         Mirrors the math of BSRFormat::assembleBilinear(computeElementMatrix
         Tetra4) with the scatter replaced by 96 static slice-adds grouped by
         the 15 stencil offsets.
+
+        backend: "auto" uses the Pallas plane-streaming kernel on TPU/f32
+        (mesh/pallas_stencil.py, ~6x faster — XLA materializes every padded
+        term in HBM), the XLA slice-add path otherwise.
         """
+        if backend == "auto":
+            import jax
+
+            if (
+                jax.devices()[0].platform == "tpu"
+                and coords3d.dtype == jnp.float32
+            ):
+                from .pallas_stencil import assemble_stiffness_pallas
+
+                return assemble_stiffness_pallas(self, coords3d)
         from ..ops.geometry import tetra4_gradients, tetra4_volume
 
         nx, ny, nz = self.nx, self.ny, self.nz

@@ -12,9 +12,10 @@ from . import (  # noqa: F401
     passmo,
     poisson,
     soildynamics,
+    testlab_model,
 )
 
 _ALL = [
     "poisson", "elasticity", "fourier", "electrostatics", "acoustics",
-    "aerodynamics", "bilaplacian", "heat", "elastodynamics", "soildynamics", "passmo",
+    "aerodynamics", "bilaplacian", "heat", "elastodynamics", "soildynamics", "passmo", "testlab_model",
 ]

