@@ -32,26 +32,38 @@ from ..sparse.dia import DiaMatrix
 
 # --- per-axis transfer kernels (regular reshape/concat, no scatter) --------
 
+def _sl(a, axis, sl):
+    """a[..., sl, ...] with the slice on `axis` (no transposition)."""
+    idx = [slice(None)] * a.ndim
+    idx[axis] = sl
+    return a[tuple(idx)]
+
+
 def _prolong_axis(c: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """1D linear interpolation along `axis`: (n+1) -> (2n+1)."""
-    c = jnp.moveaxis(c, axis, 0)
-    mid = 0.5 * (c[:-1] + c[1:])
-    body = jnp.stack([c[:-1], mid], axis=1).reshape((-1,) + c.shape[1:])
-    out = jnp.concatenate([body, c[-1:]], axis=0)
-    return jnp.moveaxis(out, 0, axis)
+    """1D linear interpolation along `axis`: (n+1) -> (2n+1).
+
+    Implemented with stack+reshape on the axis itself — a moveaxis-based
+    version forces physical transposes of the full grid per axis, which
+    dominates V-cycle time at 10M+ DoF.
+    """
+    lo = _sl(c, axis, slice(None, -1))
+    hi = _sl(c, axis, slice(1, None))
+    mid = 0.5 * (lo + hi)
+    body = jnp.stack([lo, mid], axis=axis + 1)
+    new_shape = c.shape[:axis] + (2 * (c.shape[axis] - 1),) + c.shape[axis + 1:]
+    body = body.reshape(new_shape)
+    return jnp.concatenate([body, _sl(c, axis, slice(-1, None))], axis=axis)
 
 
 def _restrict_axis(f: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Adjoint of _prolong_axis: out[i] = f[2i] + 0.5(f[2i-1] + f[2i+1])."""
-    f = jnp.moveaxis(f, axis, 0)
-    even = f[::2]
-    odd = f[1::2]  # length n (between each pair of coarse nodes)
-    zeros = jnp.zeros_like(odd[:1])
-    out = even + 0.5 * (
-        jnp.concatenate([zeros, odd], axis=0)
-        + jnp.concatenate([odd, zeros], axis=0)
+    even = _sl(f, axis, slice(None, None, 2))
+    odd = _sl(f, axis, slice(1, None, 2))
+    zeros = jnp.zeros_like(_sl(odd, axis, slice(0, 1)))
+    return even + 0.5 * (
+        jnp.concatenate([zeros, odd], axis=axis)
+        + jnp.concatenate([odd, zeros], axis=axis)
     )
-    return jnp.moveaxis(out, 0, axis)
 
 
 def prolong3(xc: jnp.ndarray, cshape, fshape) -> jnp.ndarray:
