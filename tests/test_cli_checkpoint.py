@@ -52,3 +52,22 @@ def test_heat_resume_matches_continuous(tmp_path):
         T0=st["T"],
     )
     np.testing.assert_allclose(resumed.T, full.T, rtol=1e-9, atol=1e-12)
+
+
+def test_vtk_writer(tmp_path):
+    """VTK legacy output readable structure (the post-processing role)."""
+    from arcanefem_tpu.fem.vtk import write_vtk
+    from arcanefem_tpu.mesh.generate import rect_tria_mesh
+
+    mesh = rect_tria_mesh(3, 2)
+    u = np.linspace(0, 1, mesh.n_nodes)
+    vec = np.stack([u, -u], axis=1)
+    path = tmp_path / "out.vtk"
+    write_vtk(str(path), mesh, point_data={"u": u, "grad": vec},
+              cell_data={"rho": np.ones(mesh.n_cells)})
+    text = path.read_text()
+    assert "UNSTRUCTURED_GRID" in text
+    assert f"POINTS {mesh.n_nodes} double" in text
+    assert "SCALARS u double 1" in text
+    assert "VECTORS grad double" in text
+    assert f"CELL_DATA {mesh.n_cells}" in text
