@@ -84,25 +84,28 @@ def restrict3(xf: jnp.ndarray, fshape, cshape) -> jnp.ndarray:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["bands", "inv_diags", "masks"],
-    meta_fields=["offsets", "shapes", "nu", "omega", "coarse_iters"],
+    data_fields=["mats", "inv_diags", "masks"],
+    meta_fields=["shapes", "nu", "omega", "coarse_iters"],
 )
 @dataclass
 class MGPrecond:
-    """V-cycle preconditioner. Static: offsets/shapes per level."""
+    """V-cycle preconditioner.
 
-    bands: tuple  # per level (D, N) DIA bands (penalized)
+    mats: per-level penalized operators — DiaMatrix (XLA rolls) or
+    DiaStencilMatrix (fused Pallas plane kernel, sparse/dia_pallas.py).
+    """
+
+    mats: tuple
     inv_diags: tuple  # per level (N,)
     masks: tuple  # per level (N,) bool Dirichlet mask
-    offsets: tuple  # per level tuple of ints
     shapes: tuple  # per level (nx+1, ny+1, nz+1)
     nu: int = 2
     omega: float = 0.8
 
     coarse_iters: int = 40
 
-    def _A(self, l: int) -> DiaMatrix:
-        return DiaMatrix(bands=self.bands[l], offsets=self.offsets[l])
+    def _A(self, l: int):
+        return self.mats[l]
 
     def _smooth(self, l: int, x, b, sweeps: int):
         A, d = self._A(l), self.inv_diags[l]
@@ -112,7 +115,7 @@ class MGPrecond:
         return x
 
     def _vcycle(self, l: int, b):
-        if l == len(self.bands) - 1:
+        if l == len(self.mats) - 1:
             x = jnp.zeros_like(b)
             return self._smooth(l, x, b, self.coarse_iters)
         x = self._smooth(l, jnp.zeros_like(b), b, self.nu)
@@ -141,14 +144,17 @@ def build_mg(
     min_size: int = 8,
     nu: int = 2,
     omega: float = 0.8,
+    use_stencil_spmv: bool = False,
 ) -> MGPrecond:
     """Build the hierarchy: coarsen the grid 2x per axis while divisible.
 
     dirichlet_mask: fine-level (n_nodes,) bool of penalty rows; coarse masks
     are the same box planes on the coarse grids.
+    use_stencil_spmv: wrap each level in the fused Pallas plane kernel
+    (TPU only).
     """
     dtype = coords3d.dtype
-    bands, inv_diags, masks, offsets, shapes = [], [], [], [], []
+    mats, inv_diags, masks, shapes = [], [], [], []
     b, c3, mask = box, coords3d, np.asarray(dirichlet_mask)
     while True:
         A = b.assemble_stiffness(c3)
@@ -156,10 +162,14 @@ def build_mg(
         pen = jnp.where(jnp.asarray(mask), jnp.asarray(penalty, dtype), A.bands[d0])
         Ab = A.bands.at[d0].set(pen)
         d = Ab[d0]
-        bands.append(Ab)
+        Ap = DiaMatrix(bands=Ab, offsets=A.offsets)
+        if use_stencil_spmv:
+            from ..sparse.dia_pallas import to_stencil_matrix
+
+            Ap = to_stencil_matrix(Ap, b)
+        mats.append(Ap)
         inv_diags.append(jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0))
         masks.append(jnp.asarray(mask))
-        offsets.append(b.offsets)
         shapes.append((b.nx + 1, b.ny + 1, b.nz + 1))
         if (
             b.nx % 2 or b.ny % 2 or b.nz % 2
@@ -170,10 +180,9 @@ def build_mg(
         c3 = c3.reshape(shapes[-1] + (3,))[::2, ::2, ::2]
         mask = b.boundary_mask(bc_planes)
     return MGPrecond(
-        bands=tuple(bands),
+        mats=tuple(mats),
         inv_diags=tuple(inv_diags),
         masks=tuple(masks),
-        offsets=tuple(offsets),
         shapes=tuple(shapes),
         nu=nu,
         omega=omega,

@@ -1,0 +1,166 @@
+"""Fused Pallas SpMV for structured-box DIA matrices.
+
+XLA executes the 15-offset roll SpMV at ~70 GB/s effective (each roll is a
+materialized concat; nothing fuses), which makes it the dominant cost of
+the multigrid V-cycle (~44 ms/iteration at 11.4M DoF).  This kernel streams
+one output x-plane per grid step: a 3-plane window of x is DMA'd to VMEM
+and all 15 shifted multiply-adds happen on-chip — one HBM pass over the
+bands, x and y (~1.2 ms at 11.4M DoF).
+
+Layout: planes are padded to (8·k sublanes, 128·k lanes) with one ghost
+row on each side of y; ghost values are arbitrary because the band values
+reaching them are zero by construction (no cell couples across the domain
+boundary).  Vectors stay unpadded outside; pad/unpad passes are fused by
+XLA around the kernel call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.structured import StructuredBox
+
+LANE = 128
+
+
+def offsets3d(box: StructuredBox) -> tuple:
+    """Linear offsets -> (dx, dy, dz) grid deltas with each in {-1,0,1}."""
+    out = []
+    for off in box.offsets:
+        found = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                dz = off - dx * box.sx - dy * box.sy
+                if -1 <= dz <= 1:
+                    found = (dx, dy, dz)
+        if found is None:
+            raise ValueError(f"offset {off} is not a unit stencil delta")
+        out.append(found)
+    return tuple(out)
+
+
+def _pads(box: StructuredBox):
+    nyp2 = -(-(box.ny + 3) // 8) * 8  # ny+1 real rows + 1 ghost each side
+    nzp = -(-(box.nz + 3) // LANE) * LANE  # nz+1 real + 1 ghost each side
+    return nyp2, nzp
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _spmv(bands_p, xpad, key):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nxp, nyp2, nzp, ny, nz, offs3 = key
+    D = len(offs3)
+
+    def body(bands_ref, x_hbm, y_ref, win_ref, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(i, 3)], win_ref, sem)
+        cp.start()
+        cp.wait()
+        acc = jnp.zeros((nyp2, nzp), jnp.float32)
+        for k, (dx, dy, dz) in enumerate(offs3):
+            # y[j, l] += band[j, l] * x[i+dx, j+dy, l+dz]; rolls wrap into
+            # ghost/pad rows and lanes whose band values are zero
+            shifted = win_ref[1 + dx]
+            if dy:
+                shifted = pltpu.roll(shifted, (-dy) % nyp2, 0)
+            if dz:
+                shifted = pltpu.roll(shifted, (-dz) % nzp, 1)
+            acc = acc + bands_ref[k, 0] * shifted
+        y_ref[0] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nxp,),
+        in_specs=[
+            pl.BlockSpec((D, 1, nyp2, nzp), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nyp2, nzp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, nyp2, nzp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bands_p, xpad)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bands_p"],
+    meta_fields=["nx", "ny", "nz", "offs3", "offsets"],
+)
+@dataclass
+class DiaStencilMatrix:
+    """DiaMatrix drop-in whose spmv runs the fused plane kernel.
+
+    bands_p: (D, nx+1, nyp2, nzp) zero-padded band planes (real rows/cols
+    at offset 1 in y and z).
+    """
+
+    bands_p: jnp.ndarray
+    nx: int
+    ny: int
+    nz: int
+    offs3: tuple
+    offsets: tuple
+
+    @property
+    def n_dofs(self) -> int:
+        return (self.nx + 1) * (self.ny + 1) * (self.nz + 1)
+
+    def _key(self):
+        nyp2, nzp = self.bands_p.shape[2], self.bands_p.shape[3]
+        return (self.nx + 1, nyp2, nzp, self.ny, self.nz, self.offs3)
+
+    def spmv(self, x: jnp.ndarray) -> jnp.ndarray:
+        nx, ny, nz = self.nx, self.ny, self.nz
+        nyp2, nzp = self.bands_p.shape[2], self.bands_p.shape[3]
+        x3 = x.reshape(nx + 1, ny + 1, nz + 1).astype(jnp.float32)
+        xpad = jnp.pad(
+            x3,
+            ((1, 1), (1, nyp2 - ny - 2), (1, nzp - nz - 2)),
+        )
+        y = _spmv(self.bands_p, xpad, self._key())
+        return y[:, 1 : ny + 2, 1 : nz + 2].reshape(-1).astype(x.dtype)
+
+    def diagonal(self) -> jnp.ndarray:
+        d0 = self.offsets.index(0)
+        ny, nz = self.ny, self.nz
+        return self.bands_p[d0][:, 1 : ny + 2, 1 : nz + 2].reshape(-1)
+
+    def with_bands_p(self, bands_p) -> "DiaStencilMatrix":
+        return DiaStencilMatrix(
+            bands_p=bands_p, nx=self.nx, ny=self.ny, nz=self.nz,
+            offs3=self.offs3, offsets=self.offsets,
+        )
+
+
+def to_stencil_matrix(A, box: StructuredBox) -> DiaStencilMatrix:
+    """Pad a DiaMatrix's bands into the plane layout (one-time)."""
+    nyp2, nzp = _pads(box)
+    D = A.bands.shape[0]
+    b3 = A.bands.reshape(D, box.nx + 1, box.ny + 1, box.nz + 1)
+    bands_p = jnp.pad(
+        b3.astype(jnp.float32),
+        ((0, 0), (0, 0), (1, nyp2 - box.ny - 2), (1, nzp - box.nz - 2)),
+    )
+    return DiaStencilMatrix(
+        bands_p=bands_p, nx=box.nx, ny=box.ny, nz=box.nz,
+        offs3=offsets3d(box), offsets=box.offsets,
+    )

@@ -87,12 +87,17 @@ def main():
             # (HypreDoFLinearSystem.cc:686-742); hierarchy setup (coarse
             # rediscretizations) is traced into this step, so the timed
             # solve includes the preconditioner setup like Hypre's does.
-            M = build_mg(box, c3d, np.asarray(mask), penalty)
+            M = build_mg(box, c3d, np.asarray(mask), penalty,
+                         use_stencil_spmv=platform == "tpu")
         else:
             d = A.diagonal()
             inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
             M = Precond(data=(inv,), kind="jacobi")
         x0 = jnp.where(mask, gvals, 0.0)
+        if platform == "tpu":
+            from arcanefem_tpu.sparse.dia_pallas import to_stencil_matrix
+
+            A = to_stencil_matrix(A, box)
         return pcg(A, rhs, M, x0, rtol, 0.0, 5000, use_precise_dot=True)
 
     # --- assembly throughput (cache-warmed, slope-timed) ---------------------
