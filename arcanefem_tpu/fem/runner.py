@@ -10,8 +10,8 @@ from __future__ import annotations
 
 from typing import Callable
 
-from ..mesh.core import Mesh, read_msh
-from .arc import ArcCase, load_case
+from ..mesh.core import read_msh
+from .arc import load_case
 
 _REGISTRY: dict[str, Callable] = {}
 

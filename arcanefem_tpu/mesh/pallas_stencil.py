@@ -22,7 +22,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .structured import _HEX_CORNERS, _TETS, StructuredBox
 

@@ -30,7 +30,7 @@ from ..fem.timer import PhaseTimer
 from ..fem.validation import check_node_results
 from ..mesh.core import Mesh
 from ..ops import elements
-from ..solver.linear_system import SolverOptions, apply_bcs, solve_finalized
+from ..solver.linear_system import SolverOptions, solve_finalized
 from ..solver.iterative import make_precond
 
 

@@ -24,7 +24,6 @@ from ..fem.bcs import dtype_safe_penalty
 from ..fem.problem import FemProblem
 from ..fem.timer import PhaseTimer
 from ..fem.validation import check_node_results
-from ..solver.linear_system import SolverOptions
 
 _FLAG_TO_FORMAT = {
     "legacy": "bell-segsum",

@@ -16,8 +16,6 @@ solves hit the jit cache.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

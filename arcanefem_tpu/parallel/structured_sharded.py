@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.structured import StructuredBox, _HEX_CORNERS, _TETS
-from ..ops.geometry import tetra4_gradients, tetra4_volume
+from ..ops.geometry import tetra4_gradients
 
 AXIS = "xslabs"
 

@@ -109,6 +109,10 @@ class MGPrecond:
 
     def _smooth(self, l: int, x, b, sweeps: int):
         A, d = self._A(l), self.inv_diags[l]
+        if hasattr(A, "jacobi_sweep"):
+            for _ in range(sweeps):
+                x = A.jacobi_sweep(x, b, self.omega)
+            return x
         om = jnp.asarray(self.omega, b.dtype)
         for _ in range(sweeps):
             x = x + om * d * (b - A.spmv(x))
@@ -119,7 +123,8 @@ class MGPrecond:
             x = jnp.zeros_like(b)
             return self._smooth(l, x, b, self.coarse_iters)
         x = self._smooth(l, jnp.zeros_like(b), b, self.nu)
-        r = b - self._A(l).spmv(x)
+        A0 = self._A(l)
+        r = A0.residual(b, x) if hasattr(A0, "residual") else b - A0.spmv(x)
         r = jnp.where(self.masks[l], 0.0, r)
         rc = restrict3(r, self.shapes[l], self.shapes[l + 1])
         rc = jnp.where(self.masks[l + 1], 0.0, rc)

@@ -21,7 +21,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..mesh.structured import StructuredBox
 
@@ -50,6 +49,22 @@ def _pads(box: StructuredBox):
     return nyp2, nzp
 
 
+def _acc_Ax(offs3, nyp2, nzp, bands_ref, win_ref):
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc = jnp.zeros((nyp2, nzp), jnp.float32)
+    for k, (dx, dy, dz) in enumerate(offs3):
+        # (Ax)[j, l] += band[j, l] * x[i+dx, j+dy, l+dz]; rolls wrap into
+        # ghost/pad rows and lanes whose band values are zero
+        shifted = win_ref[1 + dx]
+        if dy:
+            shifted = pltpu.roll(shifted, (-dy) % nyp2, 0)
+        if dz:
+            shifted = pltpu.roll(shifted, (-dz) % nzp, 1)
+        acc = acc + bands_ref[k, 0] * shifted
+    return acc
+
+
 @partial(jax.jit, static_argnames=("key",))
 def _spmv(bands_p, xpad, key):
     import jax.experimental.pallas as pl
@@ -63,17 +78,7 @@ def _spmv(bands_p, xpad, key):
         cp = pltpu.make_async_copy(x_hbm.at[pl.ds(i, 3)], win_ref, sem)
         cp.start()
         cp.wait()
-        acc = jnp.zeros((nyp2, nzp), jnp.float32)
-        for k, (dx, dy, dz) in enumerate(offs3):
-            # y[j, l] += band[j, l] * x[i+dx, j+dy, l+dz]; rolls wrap into
-            # ghost/pad rows and lanes whose band values are zero
-            shifted = win_ref[1 + dx]
-            if dy:
-                shifted = pltpu.roll(shifted, (-dy) % nyp2, 0)
-            if dz:
-                shifted = pltpu.roll(shifted, (-dz) % nzp, 1)
-            acc = acc + bands_ref[k, 0] * shifted
-        y_ref[0] = acc
+        y_ref[0] = _acc_Ax(offs3, nyp2, nzp, bands_ref, win_ref)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -98,6 +103,59 @@ def _spmv(bands_p, xpad, key):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(bands_p, xpad)
+
+
+@partial(jax.jit, static_argnames=("key", "mode", "omega"))
+def _sweep(bands_p, invd_p, xpad, bpad, key, mode, omega=0.0):
+    """mode 'jacobi': out = x + ω·invd·(b − A x); 'residual': out = b − A x.
+
+    One fused HBM pass — the MG smoother/residual otherwise costs an SpMV
+    plus separate axpy passes.  ω is static (a solver config constant).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nxp, nyp2, nzp, ny, nz, offs3 = key
+    D = len(offs3)
+
+    def body(bands_ref, invd_ref, b_ref, x_hbm, y_ref, win_ref, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(i, 3)], win_ref, sem)
+        cp.start()
+        cp.wait()
+        r = b_ref[0] - _acc_Ax(offs3, nyp2, nzp, bands_ref, win_ref)
+        if mode == "jacobi":
+            y_ref[0] = win_ref[1] + omega * invd_ref[0] * r
+        else:
+            y_ref[0] = r
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nxp,),
+        in_specs=[
+            pl.BlockSpec((D, 1, nyp2, nzp), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nyp2, nzp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nyp2, nzp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nyp2, nzp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, nyp2, nzp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bands_p, invd_p, bpad, xpad)
 
 
 @partial(
@@ -143,6 +201,45 @@ class DiaStencilMatrix:
         d0 = self.offsets.index(0)
         ny, nz = self.ny, self.nz
         return self.bands_p[d0][:, 1 : ny + 2, 1 : nz + 2].reshape(-1)
+
+    # -- fused multigrid kernels (one HBM pass each) -------------------------
+
+    def _pad_vec(self, x: jnp.ndarray) -> jnp.ndarray:
+        nx, ny, nz = self.nx, self.ny, self.nz
+        nyp2, nzp = self.bands_p.shape[2], self.bands_p.shape[3]
+        x3 = x.reshape(nx + 1, ny + 1, nz + 1).astype(jnp.float32)
+        return jnp.pad(x3, ((1, 1), (1, nyp2 - ny - 2), (1, nzp - nz - 2)))
+
+    def _pad_plane(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Like _pad_vec but without the x ghost planes (per-plane inputs)."""
+        nx, ny, nz = self.nx, self.ny, self.nz
+        nyp2, nzp = self.bands_p.shape[2], self.bands_p.shape[3]
+        x3 = x.reshape(nx + 1, ny + 1, nz + 1).astype(jnp.float32)
+        return jnp.pad(x3, ((0, 0), (1, nyp2 - ny - 2), (1, nzp - nz - 2)))
+
+    def _unpad(self, y: jnp.ndarray, dtype) -> jnp.ndarray:
+        ny, nz = self.ny, self.nz
+        return y[:, 1 : ny + 2, 1 : nz + 2].reshape(-1).astype(dtype)
+
+    def _invd_p(self) -> jnp.ndarray:
+        d0 = self.bands_p[self.offsets.index(0)]
+        return jnp.where(d0 != 0, 1.0 / jnp.where(d0 == 0, 1.0, d0), 0.0)
+
+    def jacobi_sweep(self, x: jnp.ndarray, b: jnp.ndarray, omega: float) -> jnp.ndarray:
+        """x + ω·D⁻¹·(b − A x) in one kernel pass."""
+        y = _sweep(
+            self.bands_p, self._invd_p(), self._pad_vec(x),
+            self._pad_plane(b), self._key(), "jacobi", float(omega),
+        )
+        return self._unpad(y, x.dtype)
+
+    def residual(self, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """b − A x in one kernel pass."""
+        y = _sweep(
+            self.bands_p, self._invd_p(), self._pad_vec(x),
+            self._pad_plane(b), self._key(), "residual",
+        )
+        return self._unpad(y, x.dtype)
 
     def with_bands_p(self, bands_p) -> "DiaStencilMatrix":
         return DiaStencilMatrix(
