@@ -26,11 +26,27 @@ def register(codename: str):
     return deco
 
 
-def run_case(path: str, dtype=None, mesh_root: str | None = None, **kw):
-    """Load an .arc case, read its mesh, dispatch to the registered model."""
+def run_case(
+    path: str,
+    dtype=None,
+    mesh_root: str | None = None,
+    rcm: bool = False,
+    spmv: str | None = None,
+    **kw,
+):
+    """Load an .arc case, read its mesh, dispatch to the registered model.
+
+    rcm: bandwidth-reducing node renumbering (utils/ordering.py) — golden
+    validation is uid-keyed, so results are invariant; required for the
+    Pallas window SpMV on larger meshes.
+    spmv: override the SpMV backend ("pallas" enables the TPU window
+    kernel, sparse/pallas_spmv.py; silently falls back off-TPU).
+    """
     import numpy as np
 
     case = load_case(path, mesh_root=mesh_root)
+    if spmv is not None:
+        case.solver.spmv = spmv
     key = (case.codename or "").lower()
     if key not in _REGISTRY:
         # import model modules lazily so registration side-effects run
@@ -44,4 +60,12 @@ def run_case(path: str, dtype=None, mesh_root: str | None = None, **kw):
             f"(have: {sorted(_REGISTRY)})"
         )
     mesh = read_msh(case.mesh_file)
+    if rcm:
+        from ..sparse.topology import build_topology
+        from ..utils.ordering import rcm_order, renumber_mesh
+
+        topo = build_topology(mesh.n_nodes, mesh.cells)
+        mesh = renumber_mesh(
+            mesh, rcm_order(mesh.n_nodes, topo.row_ptr, topo.csr_cols)
+        )
     return _REGISTRY[key](case, mesh, dtype=dtype or np.float64, **kw)

@@ -94,3 +94,14 @@ def test_kernel_matches_xla_on_tpu():
     y = np.asarray(sp(vals, x))
     yref = np.asarray(jnp.sum(vals * x[jnp.asarray(topo.ell_cols)], axis=1))
     np.testing.assert_allclose(y, yref, rtol=1e-6, atol=1e-6)
+
+
+def test_run_case_rcm_golden():
+    """run_case(rcm=True) still validates against the uid-keyed golden."""
+    from arcanefem_tpu.fem.runner import run_case
+
+    r = run_case(
+        "/root/reference/modules/poisson/inputs/circle.2D.arc",
+        rcm=True, spmv="pallas",  # pallas falls back off-TPU
+    )
+    assert r.iterations > 0
