@@ -62,20 +62,20 @@ def rule(cell_type: str, ninteg: int = 2):
         raise NotImplementedError("only ninteg=2 rules are wired up so far")
     if cell_type == "line2":
         return np.array([[-_G1], [_G1]]), np.array([1.0, 1.0])
-    if cell_type == "tria3":
+    if cell_type in ("tria3", "tria6"):
         # 3-point edge-midpoint rule, degree 2 (GaussQuadrature.h order 2)
         pts = np.array([[0.5, 0.0], [0.5, 0.5], [0.0, 0.5]])
         return pts, np.full(3, 1.0 / 6.0)
-    if cell_type == "quad4":
+    if cell_type in ("quad4", "quad8"):
         pts = np.array([[x, y] for x in (-_G1, _G1) for y in (-_G1, _G1)])
         return pts, np.ones(4)
-    if cell_type == "tetra4":
+    if cell_type in ("tetra4", "tetra10"):
         a, b = 0.5854101966249685, 0.1381966011250105
         pts = np.array(
             [[a, b, b], [b, a, b], [b, b, a], [b, b, b]]
         )
         return pts, np.full(4, 1.0 / 24.0)
-    if cell_type == "hexa8":
+    if cell_type in ("hexa8", "hexa20"):
         pts = np.array(
             [[x, y, z] for x in (-_G1, _G1) for y in (-_G1, _G1) for z in (-_G1, _G1)]
         )
@@ -181,6 +181,101 @@ def _shape_at(cell_type: str, pts: np.ndarray):
             fx * fy / (4 * t1[:, None] ** 2) - (fx + fy) / (4 * t1[:, None])
         )
         dN[:, 4, 2] = 1.0
+        return N, dN
+    if cell_type == "tria6":
+        # gmsh: corners 0-2, midsides 3=(0,1), 4=(1,2), 5=(2,0)
+        x, y = pts[:, 0], pts[:, 1]
+        L = np.stack([1 - x - y, x, y], axis=1)
+        dL = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+        edges = [(0, 1), (1, 2), (2, 0)]
+        N = np.concatenate(
+            [L * (2 * L - 1)]
+            + [4 * (L[:, a] * L[:, b])[:, None] for a, b in edges], axis=1
+        )
+        dN = np.zeros((ng, 6, 2))
+        for i in range(3):
+            dN[:, i] = (4 * L[:, i, None] - 1) * dL[i]
+        for k, (a, b) in enumerate(edges):
+            dN[:, 3 + k] = 4 * (L[:, a, None] * dL[b] + L[:, b, None] * dL[a])
+        return N, dN
+    if cell_type == "tetra10":
+        # gmsh: corners 0-3, edges 4=(0,1) 5=(1,2) 6=(0,2) 7=(0,3) 8=(2,3) 9=(1,3)
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        L = np.stack([1 - x - y - z, x, y, z], axis=1)
+        dL = np.array(
+            [[-1, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64
+        )
+        edges = [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]
+        N = np.concatenate(
+            [L * (2 * L - 1)]
+            + [4 * (L[:, a] * L[:, b])[:, None] for a, b in edges], axis=1
+        )
+        dN = np.zeros((ng, 10, 3))
+        for i in range(4):
+            dN[:, i] = (4 * L[:, i, None] - 1) * dL[i]
+        for k, (a, b) in enumerate(edges):
+            dN[:, 4 + k] = 4 * (L[:, a, None] * dL[b] + L[:, b, None] * dL[a])
+        return N, dN
+    if cell_type == "quad8":
+        # serendipity; gmsh midsides 4=(0,1) 5=(1,2) 6=(2,3) 7=(3,0)
+        x, y = pts[:, 0], pts[:, 1]
+        sx, sy = _QUAD_SIGNS[:, 0], _QUAD_SIGNS[:, 1]
+        N = np.zeros((ng, 8))
+        dN = np.zeros((ng, 8, 2))
+        fx = 1 + x[:, None] * sx
+        fy = 1 + y[:, None] * sy
+        N[:, :4] = 0.25 * fx * fy * (x[:, None] * sx + y[:, None] * sy - 1)
+        dN[:, :4, 0] = 0.25 * sx * fy * (2 * x[:, None] * sx + y[:, None] * sy)
+        dN[:, :4, 1] = 0.25 * sy * fx * (x[:, None] * sx + 2 * y[:, None] * sy)
+        mids = [(0.0, -1.0), (1.0, 0.0), (0.0, 1.0), (-1.0, 0.0)]
+        for k, (mx, my) in enumerate(mids):
+            i = 4 + k
+            if mx == 0.0:
+                N[:, i] = 0.5 * (1 - x * x) * (1 + y * my)
+                dN[:, i, 0] = -x * (1 + y * my)
+                dN[:, i, 1] = 0.5 * (1 - x * x) * my
+            else:
+                N[:, i] = 0.5 * (1 + x * mx) * (1 - y * y)
+                dN[:, i, 0] = 0.5 * mx * (1 - y * y)
+                dN[:, i, 1] = -y * (1 + x * mx)
+        return N, dN
+    if cell_type == "hexa20":
+        # serendipity; gmsh edge order (0,1)(0,3)(0,4)(1,2)(1,5)(2,3)
+        # (2,6)(3,7)(4,5)(4,7)(5,6)(6,7)
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        sx, sy, sz = _HEX_SIGNS[:, 0], _HEX_SIGNS[:, 1], _HEX_SIGNS[:, 2]
+        N = np.zeros((ng, 20))
+        dN = np.zeros((ng, 20, 3))
+        fx = 1 + x[:, None] * sx
+        fy = 1 + y[:, None] * sy
+        fz = 1 + z[:, None] * sz
+        s = x[:, None] * sx + y[:, None] * sy + z[:, None] * sz
+        N[:, :8] = 0.125 * fx * fy * fz * (s - 2)
+        dN[:, :8, 0] = 0.125 * sx * fy * fz * (s - 2 + fx)
+        dN[:, :8, 1] = 0.125 * sy * fx * fz * (s - 2 + fy)
+        dN[:, :8, 2] = 0.125 * sz * fx * fy * (s - 2 + fz)
+        hex_edges = [(0, 1), (0, 3), (0, 4), (1, 2), (1, 5), (2, 3),
+                     (2, 6), (3, 7), (4, 5), (4, 7), (5, 6), (6, 7)]
+        for k, (a, b) in enumerate(hex_edges):
+            m = 0.5 * (_HEX_SIGNS[a] + _HEX_SIGNS[b])  # midside coordinate
+            comps = np.array([x, y, z])  # (3, ng)
+            zero_ax = int(np.where(m == 0)[0][0])
+            u = comps[zero_ax]
+            quad = 1 - u * u
+            lin = np.ones(ng)
+            for ax in range(3):
+                if ax != zero_ax:
+                    lin = lin * (1 + comps[ax] * m[ax])
+            i = 8 + k
+            N[:, i] = 0.25 * quad * lin
+            for ax in range(3):
+                if ax == zero_ax:
+                    dN[:, i, ax] = 0.25 * (-2 * u) * lin
+                else:
+                    other = [a2 for a2 in range(3) if a2 not in (zero_ax, ax)][0]
+                    dN[:, i, ax] = (
+                        0.25 * quad * m[ax] * (1 + comps[other] * m[other])
+                    )
         return N, dN
     raise NotImplementedError(f"no shape functions for '{cell_type}'")
 

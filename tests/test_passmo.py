@@ -89,3 +89,66 @@ def test_hexa_stiffness_rigid_body():
         u = np.stack([-xyz[0, :, 1], xyz[0, :, 0], np.zeros(npc)], axis=1)
         r = Kmat @ u.reshape(-1)
         assert np.abs(r).max() < 1e-8 * np.abs(Kmat).max()
+
+
+QUAD_NODES = {
+    "tria6": np.array(
+        [[0, 0], [1, 0], [0, 1], [0.5, 0], [0.5, 0.5], [0, 0.5]], float
+    ),
+    "tetra10": np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [0.5, 0, 0],
+         [0.5, 0.5, 0], [0, 0.5, 0], [0, 0, 0.5], [0, 0.5, 0.5],
+         [0.5, 0, 0.5]], float
+    ),
+    "quad8": np.array(
+        [[-1, -1], [1, -1], [1, 1], [-1, 1], [0, -1], [1, 0], [0, 1],
+         [-1, 0]], float
+    ),
+}
+_h8 = np.array(
+    [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+     [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], float
+)
+_he = [(0, 1), (0, 3), (0, 4), (1, 2), (1, 5), (2, 3),
+       (2, 6), (3, 7), (4, 5), (4, 7), (5, 6), (6, 7)]
+QUAD_NODES["hexa20"] = np.vstack(
+    [_h8] + [0.5 * (_h8[a] + _h8[b]) for a, b in _he]
+)
+
+
+@pytest.mark.parametrize("ct", ["tria6", "tetra10", "quad8", "hexa20"])
+def test_quadratic_shape_functions(ct):
+    """Kronecker at nodes, partition of unity, linear completeness —
+    the FemShapeMethods quadratic zoo (ArcaneFemFunctions.h:1252-2342)."""
+    nodes = QUAD_NODES[ct]
+    N, _ = Q._shape_at(ct, nodes)
+    np.testing.assert_allclose(N, np.eye(len(nodes)), atol=1e-12)
+    pts, _w = Q.rule(ct)
+    N2, dN2 = Q.shape_tables(ct)
+    np.testing.assert_allclose(N2.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(dN2.sum(axis=1), 0.0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.einsum("gn,nd->gd", N2, nodes), pts, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("ct", ["tria6", "tetra10", "quad8", "hexa20"])
+def test_quadratic_stiffness_rigid_body(ct):
+    """K times rigid translation = 0 on a perturbed quadratic element."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    nodes = QUAD_NODES[ct]
+    dim = nodes.shape[1]
+    xyz = np.zeros((1, len(nodes), 3))
+    xyz[0, :, :dim] = nodes + 0.03 * rng.rand(*nodes.shape)
+    K = np.asarray(
+        Q.stiffness_blocks_iso(ct, jnp.asarray(xyz), 2.0, 1.0, dim)
+    )[0]
+    npc = len(nodes)
+    Kmat = K.transpose(0, 2, 1, 3).reshape(npc * dim, npc * dim)
+    for d in range(dim):
+        u = np.zeros((npc, dim))
+        u[:, d] = 1.0
+        r = Kmat @ u.reshape(-1)
+        assert np.abs(r).max() < 1e-9 * np.abs(Kmat).max()
