@@ -1,0 +1,85 @@
+"""Pallas window-gather assembly for general (unstructured) meshes.
+
+XLA segment_sum runs ~0.11 Gelem/s on v5e, which bounds the general BELL
+assembly (sparse/bell.py) to ~1 MDoF/s.  This inverts the scatter into a
+gather: at plan time every flat ELL slot gets the (padded, fixed-K) list of
+element-entry indices that contribute to it, so assembly becomes
+
+    values[slot] = sum_k ke_flat[src[slot, k]]
+
+— the "gather K sources per row and reduce" primitive of the window SpMV
+kernel (sparse/pallas_spmv.py::gather_sum_rows), with zero weights masking
+the padding.  Locality requirement: after RCM node ordering and min-node
+cell sorting (utils/ordering.py), the entries feeding a block of slots sit
+in a contiguous window of the cell-major entry array; plan() returns None
+when any window exceeds the VMEM budget (fall back to segment_sum).
+
+Measured (v5e, 491k-node tria mesh): exact vs segment_sum, 1.6x faster
+(69 ms vs 114 ms).  The entry window is ~npc² wider than the SpMV's node
+window, so the 128-lane chunk sweep dominates; the round-2 fix is ordering
+requests by source entry so each request tile touches 1-2 chunks
+(ROADMAP.md #2), which applies to this gather unchanged.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_spmv import gather_sum_rows, plan_windows_from_cols
+from .topology import Topology
+
+
+class PallasAssembler:
+    """values = assemble(element matrices) via window gathers."""
+
+    def __init__(self, topo: Topology, block_rows: int = 512,
+                 max_window: int = 32 * 1024):
+        self.topo = topo
+        slots = np.concatenate(
+            [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
+        )
+        E = slots.shape[0]
+        order = np.argsort(slots, kind="stable").astype(np.int64)
+        ssorted = slots[order]
+        counts = np.bincount(ssorted, minlength=topo.n_slots)
+        K = max(int(counts.max()), 1)
+        ptr = np.zeros(topo.n_slots + 1, np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        pos = np.arange(E, dtype=np.int64) - ptr[ssorted]
+        src = np.full((topo.n_slots, K), -1, np.int64)
+        src[ssorted, pos] = order
+        self.K = K
+        self.E = E
+        self.mask = (src >= 0).astype(np.float32)
+        # planning needs in-range sources for padding slots; empty slots
+        # (BELL pad entries) forward-fill from the nearest real slot so
+        # they never widen a block's window
+        first = src[:, 0].copy()
+        real = first >= 0
+        if not real.any():
+            raise ValueError("empty topology")
+        idx = np.where(real, np.arange(topo.n_slots), -1)
+        np.maximum.accumulate(idx, out=idx)
+        lead = idx < 0  # leading empties: backfill from the first real slot
+        idx[lead] = int(np.argmax(real))
+        fallback = first[idx]
+        src_plan = np.where(src >= 0, src, fallback[:, None]).astype(np.int32)
+        self.plan = plan_windows_from_cols(
+            src_plan, pad_target=int(fallback[-1]), block_rows=block_rows,
+            max_window=max_window,
+        )
+        if self.plan is not None:
+            self._weights = jnp.asarray(self.mask)
+
+    @property
+    def available(self) -> bool:
+        return self.plan is not None
+
+    def __call__(self, mats: dict) -> jnp.ndarray:
+        """mats: cell-type -> (nc, npc, npc) element matrices (scalar).
+        Returns flat (n_slots,) BELL values (f32)."""
+        ke = jnp.concatenate(
+            [mats[k].reshape(-1) for k in self.topo.slot_maps]
+        )
+        return gather_sum_rows(self.plan, ke, weights=self._weights)

@@ -57,15 +57,30 @@ def plan_windows(
     topo: Topology, block_rows: int = 512, max_window: int = 32 * 1024
 ) -> WindowPlan | None:
     """None if any block's window exceeds the VMEM budget."""
-    n, W = topo.n_nodes, topo.width
+    return plan_windows_from_cols(
+        topo.ell_cols, topo.n_nodes - 1, block_rows, max_window
+    )
+
+
+def plan_windows_from_cols(
+    cols_in: np.ndarray, pad_target: int,
+    block_rows: int = 512, max_window: int = 32 * 1024,
+) -> WindowPlan | None:
+    """Window plan over an arbitrary (rows, W) gather-index array.
+
+    Used both for the BELL SpMV (indices into x) and the general assembly
+    gather (indices into the flat element-entry array); pad rows point at
+    pad_target, which must be a valid always-safe source index.
+    """
+    n, W = cols_in.shape
     R = block_rows
     if (R * W) % LANE:
         return None
     nb = -(-n // R)
     n_pad = nb * R
     cols = np.empty((n_pad, W), np.int32)
-    cols[:n] = topo.ell_cols
-    cols[n:] = n - 1  # padding rows stay inside the last window (zero vals)
+    cols[:n] = cols_in
+    cols[n:] = pad_target
     blk = cols.reshape(nb, R * W)
     # lane-align window starts so the window DMA is a whole-row 2D copy
     lo = ((blk.min(axis=1) // LANE) * LANE).astype(np.int64)
@@ -82,6 +97,30 @@ def plan_windows(
         n_nodes=n, width=W, block_rows=R, window=V, n_blocks=nb,
         lo=lo, lcols=lcols, order=None,
     )
+
+
+def gather_sum_rows(plan: WindowPlan, table: "jnp.ndarray",
+                    weights=None) -> "jnp.ndarray":
+    """(rows,) sums of weights[r,:]·table[cols[r,:]] via the window kernel —
+    the generic "gather W sources per row and reduce" primitive.  weights
+    (rows, W) defaults to ones; use 0-entries to mask padding slots."""
+    n, W = plan.n_nodes, plan.width
+    R, nb = plan.block_rows, plan.n_blocks
+    G = R * W // LANE
+    if weights is None:
+        vals = jnp.ones((nb, G, LANE), jnp.float32)
+    else:
+        w = jnp.asarray(weights, jnp.float32).reshape(n, W)
+        if nb * R != n:
+            w = jnp.pad(w, ((0, nb * R - n), (0, 0)))
+        vals = w.reshape(nb, G, LANE)
+    tp = table.astype(jnp.float32)
+    need = (int(plan.lo.max()) * LANE + plan.window) if nb else plan.window
+    n_t = -(-max(tp.shape[0], need) // LANE) * LANE
+    tp = jnp.pad(tp, (0, n_t - tp.shape[0])).reshape(n_t // LANE, LANE)
+    key = (G, plan.window, nb)
+    prods = _products(vals, jnp.asarray(plan.lcols), jnp.asarray(plan.lo), tp, key)
+    return prods.reshape(nb * R, W).sum(axis=1)[:n]
 
 
 def _make_kernel(G: int, V: int):

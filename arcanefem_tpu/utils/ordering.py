@@ -44,10 +44,17 @@ def renumber_mesh(mesh: Mesh, perm: np.ndarray) -> Mesh:
     """Return a mesh with nodes re-ordered by perm (perm[new] = old)."""
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
+
+    def renum_sort(c):
+        c2 = inv[c].astype(np.int32)
+        # sort cells by min node so the cell-major entry array is also
+        # bandwidth-local (required by the Pallas assembly gather)
+        return c2[np.argsort(c2.min(axis=1), kind="stable")]
+
     return Mesh(
         coords=mesh.coords[perm],
         node_uids=mesh.node_uids[perm],
-        cells={t: inv[c].astype(np.int32) for t, c in mesh.cells.items()},
+        cells={t: renum_sort(c) for t, c in mesh.cells.items()},
         dim=mesh.dim,
         face_groups={
             g: {t: inv[c].astype(np.int32) for t, c in fg.items()}

@@ -105,3 +105,53 @@ def test_run_case_rcm_golden():
         rcm=True, spmv="pallas",  # pallas falls back off-TPU
     )
     assert r.iterations > 0
+
+
+def test_assembler_plan_and_mask():
+    """Host-side plan of the Pallas gather assembly (kernel is TPU-only)."""
+    from arcanefem_tpu.sparse.pallas_assembly import PallasAssembler
+
+    mesh = _rcm_mesh(40)
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    asm = PallasAssembler(topo)
+    assert asm.available
+    # every real (slot, k) pair maps to a distinct entry; masked count
+    # equals the total number of element entries
+    assert int(asm.mask.sum()) == sum(
+        m.size for m in topo.slot_maps.values()
+    )
+    # window-local sources reconstruct the global ones
+    plan = asm.plan
+    flat = plan.lcols.reshape(plan.n_blocks, -1) + (
+        plan.lo.astype(np.int64) * LANE
+    )[:, None]
+    n = topo.n_slots
+    K = asm.K
+    rec = flat.reshape(-1, K)[:n]
+    real = asm.mask.astype(bool)
+    # each real source index is within the entry array
+    E = sum(m.size for m in topo.slot_maps.values())
+    assert rec[real].min() >= 0 and rec[real].max() < E
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU"
+)
+def test_assembler_matches_segment_sum_on_tpu():
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.ops import elements
+    from arcanefem_tpu.sparse.pallas_assembly import PallasAssembler
+
+    mesh = _rcm_mesh(80)
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    asm = PallasAssembler(topo)
+    assert asm.available
+    coords = jnp.asarray(mesh.coords.astype(np.float32))
+    ke = elements.stiffness_tria3(coords[jnp.asarray(mesh.cells["tria3"])])
+    got = np.asarray(asm({"tria3": ke}))
+    ref = np.asarray(jax.ops.segment_sum(
+        ke.reshape(-1), jnp.asarray(topo.slot_maps["tria3"].reshape(-1)),
+        num_segments=topo.n_slots,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-6)
