@@ -184,16 +184,17 @@ _PLAN_CACHE: dict = {}
 
 
 def as_pallas_matrix(A):
-    """Wrap a scalar BellMatrix so .spmv uses the window kernel.
+    """Wrap a BellMatrix so .spmv uses the window kernel.
 
-    Returns the original matrix unchanged when the kernel is unavailable
-    (block > 1, too-wide bandwidth, or non-TPU backend).
+    Block matrices (elasticity family) run block² scalar window gathers
+    over the same plan.  Returns the original matrix unchanged when the
+    kernel is unavailable (too-wide bandwidth or non-TPU backend).
     """
     import jax
 
     from .bell import BellMatrix
 
-    if not isinstance(A, BellMatrix) or A.block != 1:
+    if not isinstance(A, BellMatrix):
         return A
     if jax.devices()[0].platform != "tpu":
         return A
@@ -203,7 +204,7 @@ def as_pallas_matrix(A):
     sp = _PLAN_CACHE[key]
     if not sp.available:
         return A
-    return PallasBellMatrix(values=A.values, topo=A.topo, block=1)
+    return PallasBellMatrix(values=A.values, topo=A.topo, block=A.block)
 
 
 class PallasBellMatrix:
@@ -220,7 +221,22 @@ class PallasBellMatrix:
 
     def spmv(self, x):
         sp = _PLAN_CACHE[id(self._bell.topo)]
-        return sp(self._bell.values, x)
+        b = self._bell.block
+        if b == 1:
+            return sp(self._bell.values, x)
+        # block SpMV as b² scalar window gathers over the shared plan:
+        # y[:, a] = sum_c gather(values[..., a, c], cols) · x[:, c]
+        n = self._bell.topo.n_nodes
+        xn = x.reshape(n, b)
+        cols_vals = self._bell.values  # (N, W, b, b)
+        ys = []
+        for a in range(b):
+            acc = None
+            for c in range(b):
+                t = sp(cols_vals[:, :, a, c], xn[:, c])
+                acc = t if acc is None else acc + t
+            ys.append(acc)
+        return jnp.stack(ys, axis=1).reshape(-1).astype(x.dtype)
 
     def with_values(self, values):
         return PallasBellMatrix(
