@@ -180,7 +180,14 @@ def _products(vals_tiled, lcols, lo, x, key):
     )(lo, vals_tiled, lcols, x)
 
 
-_PLAN_CACHE: dict = {}
+def _cached_spmv(topo):
+    """Per-topology kernel cache, stored on the object (id()-keyed dicts
+    can alias after garbage collection)."""
+    sp = getattr(topo, "_pallas_spmv", None)
+    if sp is None:
+        sp = PallasBellSpmv(topo)
+        topo._pallas_spmv = sp
+    return sp
 
 
 def as_pallas_matrix(A):
@@ -198,10 +205,7 @@ def as_pallas_matrix(A):
         return A
     if jax.devices()[0].platform != "tpu":
         return A
-    key = id(A.topo)
-    if key not in _PLAN_CACHE:
-        _PLAN_CACHE[key] = PallasBellSpmv(A.topo)
-    sp = _PLAN_CACHE[key]
+    sp = _cached_spmv(A.topo)
     if not sp.available:
         return A
     return PallasBellMatrix(values=A.values, topo=A.topo, block=A.block)
@@ -220,7 +224,7 @@ class PallasBellMatrix:
         return getattr(self._bell, name)
 
     def spmv(self, x):
-        sp = _PLAN_CACHE[id(self._bell.topo)]
+        sp = _cached_spmv(self._bell.topo)
         b = self._bell.block
         if b == 1:
             return sp(self._bell.values, x)

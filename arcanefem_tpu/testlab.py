@@ -95,27 +95,23 @@ def assemble_csr_segsum(topo: Topology, mats: dict, dtype) -> BellMatrix:
     )
 
 
-_CACHE: dict = {}
-
-
 def _sorted_maps(topo: Topology):
-    key = (id(topo), "sorted")
-    if key not in _CACHE:
+    # cached on the topology object (id()-keyed dicts can alias after GC)
+    if not hasattr(topo, "_testlab_sorted"):
         slots = np.concatenate(
             [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
         )
         order = np.argsort(slots, kind="stable")
-        _CACHE[key] = (jnp.asarray(order), jnp.asarray(slots[order]))
-    return _CACHE[key]
+        topo._testlab_sorted = (jnp.asarray(order), jnp.asarray(slots[order]))
+    return topo._testlab_sorted
 
 
 def _ell_to_csr(topo: Topology) -> np.ndarray:
-    key = (id(topo), "ell2csr")
-    if key not in _CACHE:
+    if not hasattr(topo, "_testlab_ell2csr"):
         inv = np.zeros(topo.n_slots, np.int32)
         inv[topo.csr_to_ell] = np.arange(topo.nnz, dtype=np.int32)
-        _CACHE[key] = inv
-    return _CACHE[key]
+        topo._testlab_ell2csr = inv
+    return topo._testlab_ell2csr
 
 
 FORMATS = {
