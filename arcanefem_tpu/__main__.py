@@ -43,6 +43,7 @@ def main(argv=None):
         dtype=np.float32 if args.f32 else np.float64,
         mesh_root=args.mesh_root,
         check=not args.no_check,
+        verbose=True,
     )
     info = {
         k: v for k, v in vars(res).items()

@@ -32,6 +32,7 @@ def run_case(
     mesh_root: str | None = None,
     rcm: bool = False,
     spmv: str | None = None,
+    verbose: bool = False,
     **kw,
 ):
     """Load an .arc case, read its mesh, dispatch to the registered model.
@@ -41,6 +42,8 @@ def run_case(
     Pallas window SpMV on larger meshes.
     spmv: override the SpMV backend ("pallas" enables the TPU window
     kernel, sparse/pallas_spmv.py; silently falls back off-TPU).
+    verbose: print `[ArcaneFem-Timer]` phase lines (the reference's
+    per-phase wall-clock instrumentation, modules/poisson/FemModule.cc:28-39).
     """
     import numpy as np
 
@@ -68,4 +71,8 @@ def run_case(
         mesh = renumber_mesh(
             mesh, rcm_order(mesh.n_nodes, topo.row_ptr, topo.csr_cols)
         )
+    if verbose and "timer" not in kw:
+        from .timer import PhaseTimer
+
+        kw["timer"] = PhaseTimer(verbose=True)
     return _REGISTRY[key](case, mesh, dtype=dtype or np.float64, **kw)

@@ -84,7 +84,7 @@ def solve(mesh: Mesh, config: AcousticsConfig, dtype=np.float64,
     return result
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float
 
     cfg = AcousticsConfig(
@@ -93,7 +93,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

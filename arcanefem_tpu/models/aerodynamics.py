@@ -89,7 +89,7 @@ def solve(mesh: Mesh, config: AerodynamicsConfig, dtype=np.float64,
     )
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float, opt_text, parse_bcs
     from ..fem.bcs import DirichletBC
 
@@ -114,7 +114,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         penalty=opt_float(case.fem, "penalty", 1.0e30),
         solver=case.solver,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

@@ -92,7 +92,7 @@ def solve(mesh: Mesh, config: BilaplacianConfig, dtype=np.float64,
     )
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float, opt_text
     from ..fem.bcs import DirichletBC
 
@@ -113,7 +113,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         bcs=bcs,
         solver=case.solver,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

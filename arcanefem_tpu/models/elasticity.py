@@ -131,7 +131,7 @@ def solve(
     return result
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float, parse_bcs_vector, parse_null_vector
 
     cfg = ElasticityConfig(
@@ -144,7 +144,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

@@ -320,13 +320,13 @@ def parse_config(case, data_dir: str) -> ElastodynamicsConfig:
     )
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     import os
 
     cfg = parse_config(case, data_dir=case.base_dir)
     if not check:
         cfg.result_file = None
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

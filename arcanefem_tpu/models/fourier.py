@@ -132,7 +132,7 @@ def _rows_in_bucket(bucket: np.ndarray, sel: np.ndarray) -> np.ndarray:
     return np.asarray([key[tuple(r)] for r in map(tuple, sel)], np.int64)
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float, opt_text
 
     lam = opt_float(case.fem, "lambda", 1.0)
@@ -164,7 +164,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

@@ -132,7 +132,7 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
     return HeatResult(T=Tf, history=history, steps=steps, problem=prob)
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float, opt_text
     from ..fem.bcs import DirichletBC
 
@@ -166,7 +166,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

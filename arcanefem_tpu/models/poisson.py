@@ -137,7 +137,7 @@ def _all_boundary_nodes(prob: FemProblem) -> np.ndarray:
     return np.unique(np.concatenate([c.ravel() for c in faces.values()]))
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float
 
     cfg = PoissonConfig(
@@ -146,7 +146,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

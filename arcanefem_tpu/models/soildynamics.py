@@ -255,7 +255,7 @@ def solve(mesh: Mesh, cfg: SoildynamicsConfig, dtype=np.float64,
     return res
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     import os
 
     from ..fem.arc import opt_float, opt_text
@@ -320,7 +320,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
-    return solve(mesh, cfg, dtype=dtype)
+    return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
 def _register():

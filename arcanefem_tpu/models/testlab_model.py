@@ -41,7 +41,7 @@ _FLAG_TO_FORMAT = {
 }
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
     from ..fem.arc import opt_float, opt_text
 
     fem = case.fem
@@ -52,7 +52,7 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True):
             fmt = name
             break
 
-    timer = PhaseTimer(verbose=False)
+    timer = timer or PhaseTimer(verbose=False)
     prob = FemProblem(mesh, ndof=1, dtype=dtype)
     with timer.phase("lhs-matrix-assembly"):
         mats = testlab.element_matrices(mesh, dtype)
