@@ -27,6 +27,9 @@ def main(argv=None):
     runp.add_argument("--no-check", action="store_true",
                       help="skip golden-file validation")
     runp.add_argument("--mesh-root", default=None)
+    runp.add_argument("--output-dir", default=None,
+                      help="write <arcane-post-processing> variables "
+                           "as VTKHDF (ParaView) files here")
 
     sub.add_parser("testlab", add_help=False)
 
@@ -44,6 +47,7 @@ def main(argv=None):
         mesh_root=args.mesh_root,
         check=not args.no_check,
         verbose=True,
+        output_dir=args.output_dir,
     )
     info = {
         k: v for k, v in vars(res).items()

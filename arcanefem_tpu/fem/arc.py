@@ -29,6 +29,17 @@ from .bcs import (
 
 
 @dataclass
+class PostProcessing:
+    """`<arcane-post-processing>` block (e.g. modules/poisson/inputs/
+    circle.2D.arc:8-14): which node variables to dump, how often, and the
+    format service name (the reference always uses VtkHdfV2PostProcessor)."""
+
+    variables: list = field(default_factory=list)
+    output_period: int = 1
+    format: str = "VtkHdfV2PostProcessor"
+
+
+@dataclass
 class ArcCase:
     codename: str
     path: str
@@ -43,6 +54,7 @@ class ArcCase:
     bcs: BoundaryConditions = field(default_factory=BoundaryConditions)
     solver: SolverOptions = field(default_factory=SolverOptions)
     result_file: str | None = None
+    post_processing: PostProcessing | None = None
 
 
 def _text(elem: ET.Element | None, default=None):
@@ -268,6 +280,18 @@ def load_case(path: str, mesh_root: str | None = None) -> ArcCase:
         base_dir=base_dir,
         mesh_init=mesh_init,
     )
+    pp = root.find("arcane-post-processing")
+    if pp is not None:
+        out = pp.find("output")
+        fmt = pp.find("format")
+        case.post_processing = PostProcessing(
+            variables=[_text(v) for v in out.findall("variable")]
+            if out is not None else [],
+            output_period=int(_text(pp.find("output-period"), 1)),
+            format=fmt.get("name") if fmt is not None
+            else "VtkHdfV2PostProcessor",
+        )
+
     case.bcs = parse_bcs(fem.find("boundary-conditions"))
     case.solver = parse_solver(fem)
     rf = opt_text(fem, "result-file")

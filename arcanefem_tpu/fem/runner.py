@@ -26,6 +26,69 @@ def register(codename: str):
     return deco
 
 
+# declared .arc output-variable name -> result-object attributes to try
+# (reference variable names per module: U/V/A displacement-velocity-accel,
+# NodeTemperature for heat, Displ for passmo, Phi/E electrostatics, psi
+# aerodynamics, u1/u2 bilaplacian)
+_VAR_ALIASES = {
+    "u": ("u",), "v": ("v",), "a": ("a",),
+    "nodetemperature": ("T", "u"), "displ": ("u",),
+    "phi": ("phi",), "e": ("E",), "psi": ("psi",), "flux": ("flux",),
+    "u1": ("u1",), "u2": ("u2",),
+}
+
+
+def _write_post_processing(case, mesh, res, output_dir: str):
+    """Emit the case's `<arcane-post-processing>` variables as a VTKHDF
+    file (the reference's VtkHdfV2PostProcessor output), falling back to
+    legacy ASCII VTK when h5py is unavailable."""
+    import os
+
+    import numpy as np
+
+    point_data, cell_data = {}, {}
+    for name in case.post_processing.variables:
+        attrs = _VAR_ALIASES.get(name.lower(), (name, name.lower()))
+        val = next(
+            (getattr(res, a) for a in attrs if getattr(res, a, None)
+             is not None),
+            None,
+        )
+        if val is None:
+            continue  # derived-only variables (e.g. UExact) — no field held
+        if isinstance(val, dict):
+            cell_data[name] = val
+        else:
+            arr = np.asarray(val)
+            (point_data if arr.shape[0] == mesh.n_nodes else cell_data)[
+                name
+            ] = arr
+    os.makedirs(output_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(case.path))[0]
+    from .vtkhdf import HAVE_H5PY, VtkHdfWriter, write_vtkhdf
+
+    history = getattr(res, "history", None)
+    if HAVE_H5PY:
+        out = os.path.join(output_dir, stem + ".hdf")
+        if history:
+            # transient snapshots [(t, field)] -> one temporal VTKHDF file
+            # (the reference writes every <output-period> steps; models
+            # collect the same snapshots under keep_history=True)
+            name = next(iter(point_data), "U")
+            with VtkHdfWriter(out, mesh) as w:
+                for t, snap in history:
+                    w.add_step(float(t), point_data={name: snap})
+        else:
+            write_vtkhdf(out, mesh, point_data=point_data,
+                         cell_data=cell_data)
+    else:  # pragma: no cover
+        from .vtk import write_vtk
+
+        out = os.path.join(output_dir, stem + ".vtk")
+        write_vtk(out, mesh, point_data=point_data, cell_data=cell_data)
+    return out
+
+
 def run_case(
     path: str,
     dtype=None,
@@ -33,6 +96,7 @@ def run_case(
     rcm: bool = False,
     spmv: str | None = None,
     verbose: bool = False,
+    output_dir: str | None = None,
     **kw,
 ):
     """Load an .arc case, read its mesh, dispatch to the registered model.
@@ -44,6 +108,8 @@ def run_case(
     kernel, sparse/pallas_spmv.py; silently falls back off-TPU).
     verbose: print `[ArcaneFem-Timer]` phase lines (the reference's
     per-phase wall-clock instrumentation, modules/poisson/FemModule.cc:28-39).
+    output_dir: write the case's `<arcane-post-processing>` variables
+    there as a VTKHDF file (fem/vtkhdf.py) after the run.
     """
     import numpy as np
 
@@ -75,4 +141,9 @@ def run_case(
         from .timer import PhaseTimer
 
         kw["timer"] = PhaseTimer(verbose=True)
-    return _REGISTRY[key](case, mesh, dtype=dtype or np.float64, **kw)
+    res = _REGISTRY[key](case, mesh, dtype=dtype or np.float64, **kw)
+    if output_dir and case.post_processing is not None:
+        out = _write_post_processing(case, mesh, res, output_dir)
+        if verbose:
+            print(f"[post-processing] wrote {out}")
+    return res

@@ -55,6 +55,9 @@ class HeatResult:
     history: list  # [(t, T) snapshots] — empty unless keep_history
     steps: int
     problem: FemProblem
+    flux: dict = None  # cell-type -> (nc, dim) heat flux −λ∇T
+    # (the reference's post-processing-only Flux variable,
+    # modules/heat/FemModule.cc:867-892)
 
 
 def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
@@ -124,15 +127,26 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
                 history.append((t, np.asarray(T)))
 
     Tf = prob.node_values(T)[:, 0]
+    with timer.phase("update-variables"):
+        flux = {}
+        for ct, conn in mesh.cells.items():
+            grads = elements.gradients(ct, prob.cell_xyz(ct))
+            Tn = T[jnp.asarray(conn)]  # (nc, npc)
+            flux[ct] = -config.lam * np.stack(
+                [np.asarray(jnp.sum(g * Tn, axis=1)) for g in grads], axis=1
+            )
     if config.result_file:
         with timer.phase("result-validation"):
             check_node_results(
                 mesh.node_uids, Tf, config.result_file, config.result_epsilon
             )
-    return HeatResult(T=Tf, history=history, steps=steps, problem=prob)
+    return HeatResult(
+        T=Tf, history=history, steps=steps, problem=prob, flux=flux
+    )
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None,
+             keep_history: bool = False):
     from ..fem.arc import opt_float, opt_text
     from ..fem.bcs import DirichletBC
 
@@ -166,7 +180,8 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
-    return solve(mesh, cfg, dtype=dtype, timer=timer)
+    return solve(mesh, cfg, dtype=dtype, timer=timer,
+                 keep_history=keep_history)
 
 
 def _register():

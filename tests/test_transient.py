@@ -60,6 +60,11 @@ def test_heat_steady_state_limit():
     )
     r = H.solve(mesh, cfg)
     np.testing.assert_allclose(r.T, mesh.coords[:, 0], atol=1e-3)
+    # steady linear profile T=x, λ=1 → flux = −λ∇T = (−1, 0) on every cell
+    # (the reference's post-processing Flux, FemModule.cc:867-892)
+    # (same O(h²/(λ·dt)) lumping bias as T: ~2e-3 at this resolution)
+    np.testing.assert_allclose(r.flux["tria3"][:, 0], -1.0, atol=4e-3)
+    np.testing.assert_allclose(r.flux["tria3"][:, 1], 0.0, atol=4e-3)
 
 
 def test_newmark_damped_reaches_static_solution():
