@@ -90,7 +90,7 @@ def solve(mesh: Mesh, config: AerodynamicsConfig, dtype=np.float64,
 
 
 def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
-    from ..fem.arc import opt_float, opt_text, parse_bcs
+    from ..fem.arc import opt_float, opt_text
     from ..fem.bcs import DirichletBC
 
     farfield = [
