@@ -140,6 +140,124 @@ class MGPrecond:
         return jnp.where(self.masks[0], r * self.inv_diags[0], z)
 
 
+# --- padded-layout V-cycle (TPU fast path, zero pad/unpad per iteration) ---
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mats", "inv_diags_p", "maskmul_p", "masks_p"],
+    meta_fields=["shapes", "nu", "omega", "coarse_iters"],
+)
+@dataclass
+class MGPrecondP:
+    """V-cycle over padded plane-layout vectors (sparse/dia_pallas.py
+    DiaPlaneMatrixP).  Differences from MGPrecond:
+
+    * vectors stay in the (nx+1, nyp2, nzp) zero-padded layout end-to-end;
+      only the restrict/prolong level transfers touch the real layout;
+    * the first pre-smooth sweep starts from x=0, so it is the elementwise
+      ω·D⁻¹·b — one full band pass saved per level per cycle;
+    * the Dirichlet mask multiply is fused into the residual kernel.
+    """
+
+    mats: tuple  # DiaPlaneMatrixP per level
+    inv_diags_p: tuple  # per level (nx+1, nyp2, nzp)
+    maskmul_p: tuple  # per level f32: 1.0 free row, 0.0 Dirichlet, 0.0 pads
+    masks_p: tuple  # per level bool (True = Dirichlet; False on pads)
+    shapes: tuple  # per level real (nx+1, ny+1, nz+1)
+    nu: int = 2
+    omega: float = 0.8
+    coarse_iters: int = 40
+
+    def _smooth0(self, l: int, bp, sweeps: int):
+        """`sweeps` damped-Jacobi sweeps starting from x = 0."""
+        om = jnp.asarray(self.omega, bp.dtype)
+        x = om * self.inv_diags_p[l] * bp
+        for _ in range(sweeps - 1):
+            x = self.mats[l].jacobi_sweep(x, bp, self.inv_diags_p[l], self.omega)
+        return x
+
+    def _restrict(self, l: int, rp):
+        """fine padded level l -> coarse padded level l+1 (real-layout hop)."""
+        Af, Ac = self.mats[l], self.mats[l + 1]
+        r = Af.unpad_vec(rp)
+        rc = restrict3(r, self.shapes[l], self.shapes[l + 1])
+        return Ac.pad_vec(rc)
+
+    def _prolong(self, l: int, xcp):
+        Af, Ac = self.mats[l], self.mats[l + 1]
+        xc = Ac.unpad_vec(xcp)
+        x = prolong3(xc, self.shapes[l + 1], self.shapes[l])
+        return Af.pad_vec(x)
+
+    def _vcycle(self, l: int, bp):
+        if l == len(self.mats) - 1:
+            return self._smooth0(l, bp, self.coarse_iters)
+        A, invd = self.mats[l], self.inv_diags_p[l]
+        x = self._smooth0(l, bp, self.nu)
+        r = A.residual(bp, x, self.maskmul_p[l])
+        rc = self._restrict(l, r) * self.maskmul_p[l + 1]
+        xc = self._vcycle(l + 1, rc) * self.maskmul_p[l + 1]
+        x = x + self._prolong(l, xc)
+        for _ in range(self.nu):
+            x = A.jacobi_sweep(x, bp, invd, self.omega)
+        return x
+
+    def apply(self, rp: jnp.ndarray) -> jnp.ndarray:
+        """M⁻¹ r on padded vectors: V-cycle free rows + exact Jacobi on
+        penalty rows."""
+        z = self._vcycle(0, rp * self.maskmul_p[0])
+        return jnp.where(self.masks_p[0], rp * self.inv_diags_p[0], z)
+
+
+def build_mg_padded(
+    box: StructuredBox,
+    coords3d: jnp.ndarray,
+    dirichlet_mask: np.ndarray,
+    penalty: float,
+    bc_planes: tuple = ("xmin", "xmax"),
+    min_size: int = 8,
+    nu: int = 2,
+    omega: float = 0.8,
+    coarse_iters: int = 40,
+) -> MGPrecondP:
+    """build_mg twin producing the padded-layout hierarchy (TPU only)."""
+    from ..sparse.dia_pallas import to_plane_matrix
+
+    dtype = coords3d.dtype
+    mats, inv_diags, maskmuls, masks, shapes = [], [], [], [], []
+    b, c3, mask = box, coords3d, np.asarray(dirichlet_mask)
+    while True:
+        A = b.assemble_stiffness(c3)
+        d0 = A.offsets.index(0)
+        pen = jnp.where(jnp.asarray(mask), jnp.asarray(penalty, dtype), A.bands[d0])
+        Ap = to_plane_matrix(DiaMatrix(bands=A.bands.at[d0].set(pen),
+                                       offsets=A.offsets), b)
+        mats.append(Ap)
+        inv_diags.append(Ap.inv_diagonal_p())
+        mask_j = jnp.asarray(mask, jnp.float32)
+        maskmuls.append(Ap.pad_vec(1.0 - mask_j))
+        masks.append(Ap.pad_vec(mask_j) > 0.5)
+        shapes.append((b.nx + 1, b.ny + 1, b.nz + 1))
+        if (
+            b.nx % 2 or b.ny % 2 or b.nz % 2
+            or min(b.nx, b.ny, b.nz) // 2 < min_size
+        ):
+            break
+        b = StructuredBox(b.nx // 2, b.ny // 2, b.nz // 2, b.lx, b.ly, b.lz)
+        c3 = c3.reshape(shapes[-1] + (3,))[::2, ::2, ::2]
+        mask = b.boundary_mask(bc_planes)
+    return MGPrecondP(
+        mats=tuple(mats),
+        inv_diags_p=tuple(inv_diags),
+        maskmul_p=tuple(maskmuls),
+        masks_p=tuple(masks),
+        shapes=tuple(shapes),
+        nu=nu,
+        omega=omega,
+        coarse_iters=coarse_iters,
+    )
+
+
 def build_mg(
     box: StructuredBox,
     coords3d: jnp.ndarray,

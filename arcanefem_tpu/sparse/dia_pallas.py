@@ -248,6 +248,201 @@ class DiaStencilMatrix:
         )
 
 
+# --- padded-vector plane kernels (zero pad/unpad inside the MG-PCG loop) ---
+#
+# Vectors live in the same plane layout as the bands: (nx+1, nyp2, nzp) f32
+# with real data at [:, 1:ny+2, 1:nz+2] and ZERO pads.  Every kernel below
+# preserves the zero-pad invariant (band pads are zero, so output pads are
+# exact zeros), which makes dot products over the padded arrays exact and
+# lets the whole MG-PCG iteration run without a single pad/unpad pass.
+#
+# The 3-plane x window is expressed as three block views with clamped index
+# maps instead of a manual DMA: Pallas double-buffers each view, so the
+# window fetch overlaps compute.  Clamping is safe because every band value
+# that would read across the x boundary is zero by construction.
+
+
+def _padded_specs(key):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nxp, nyp2, nzp, offs3 = key
+    D = len(offs3)
+
+    def xview(delta):
+        return pl.BlockSpec(
+            (1, nyp2, nzp),
+            lambda i, d=delta: (jnp.clip(i + d, 0, nxp - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    band_spec = pl.BlockSpec(
+        (D, 1, nyp2, nzp), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_spec = pl.BlockSpec(
+        (1, nyp2, nzp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return band_spec, plane_spec, xview
+
+
+def _acc_Ax_views(offs3, nyp2, nzp, bands_ref, xviews):
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc = jnp.zeros((nyp2, nzp), jnp.float32)
+    for k, (dx, dy, dz) in enumerate(offs3):
+        shifted = xviews[dx + 1][0]
+        if dy:
+            shifted = pltpu.roll(shifted, (-dy) % nyp2, 0)
+        if dz:
+            shifted = pltpu.roll(shifted, (-dz) % nzp, 1)
+        acc = acc + bands_ref[k, 0] * shifted
+    return acc
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _spmv_p(bands_p, xp, key):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nxp, nyp2, nzp, offs3 = key
+    band_spec, plane_spec, xview = _padded_specs(key)
+
+    def body(bands_ref, xm, xc, xq, y_ref):
+        y_ref[0] = _acc_Ax_views(offs3, nyp2, nzp, bands_ref, (xm, xc, xq))
+
+    return pl.pallas_call(
+        body,
+        grid=(nxp,),
+        in_specs=[band_spec, xview(-1), xview(0), xview(1)],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bands_p, xp, xp, xp)
+
+
+@partial(jax.jit, static_argnames=("key", "omega"))
+def _jacobi_p(bands_p, invd_p, bp, xp, key, omega):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nxp, nyp2, nzp, offs3 = key
+    band_spec, plane_spec, xview = _padded_specs(key)
+
+    def body(bands_ref, invd_ref, b_ref, xm, xc, xq, y_ref):
+        r = b_ref[0] - _acc_Ax_views(offs3, nyp2, nzp, bands_ref, (xm, xc, xq))
+        y_ref[0] = xc[0] + omega * invd_ref[0] * r
+
+    return pl.pallas_call(
+        body,
+        grid=(nxp,),
+        in_specs=[band_spec, plane_spec, plane_spec, xview(-1), xview(0), xview(1)],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bands_p, invd_p, bp, xp, xp, xp)
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _residual_p(bands_p, maskmul_p, bp, xp, key):
+    """(b − A x) ⊙ maskmul — the masked V-cycle residual in one pass."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nxp, nyp2, nzp, offs3 = key
+    band_spec, plane_spec, xview = _padded_specs(key)
+
+    def body(bands_ref, mm_ref, b_ref, xm, xc, xq, y_ref):
+        r = b_ref[0] - _acc_Ax_views(offs3, nyp2, nzp, bands_ref, (xm, xc, xq))
+        y_ref[0] = r * mm_ref[0]
+
+    return pl.pallas_call(
+        body,
+        grid=(nxp,),
+        in_specs=[band_spec, plane_spec, plane_spec, xview(-1), xview(0), xview(1)],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bands_p, maskmul_p, bp, xp, xp, xp)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bands_p"],
+    meta_fields=["nx", "ny", "nz", "offs3", "offsets"],
+)
+@dataclass
+class DiaPlaneMatrixP:
+    """Plane-layout DIA operator over PADDED vectors (zero-copy MG-PCG).
+
+    Same bands_p as DiaStencilMatrix, but spmv/jacobi_sweep/residual take
+    and return (nx+1, nyp2, nzp) padded vectors directly — no pad/unpad per
+    call.  Use pad_vec/unpad_vec once at solve entry/exit.
+    """
+
+    bands_p: jnp.ndarray
+    nx: int
+    ny: int
+    nz: int
+    offs3: tuple
+    offsets: tuple
+
+    @property
+    def n_dofs(self) -> int:
+        return (self.nx + 1) * (self.ny + 1) * (self.nz + 1)
+
+    def _key(self):
+        return (self.nx + 1, self.bands_p.shape[2], self.bands_p.shape[3], self.offs3)
+
+    # -- layout shuttles (entry/exit only) -----------------------------------
+
+    def pad_vec(self, x: jnp.ndarray) -> jnp.ndarray:
+        nx, ny, nz = self.nx, self.ny, self.nz
+        nyp2, nzp = self.bands_p.shape[2], self.bands_p.shape[3]
+        x3 = x.reshape(nx + 1, ny + 1, nz + 1).astype(jnp.float32)
+        return jnp.pad(x3, ((0, 0), (1, nyp2 - ny - 2), (1, nzp - nz - 2)))
+
+    def unpad_vec(self, xp: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        ny, nz = self.ny, self.nz
+        return xp[:, 1 : ny + 2, 1 : nz + 2].reshape(-1).astype(dtype)
+
+    def diagonal_p(self) -> jnp.ndarray:
+        return self.bands_p[self.offsets.index(0)]
+
+    def inv_diagonal_p(self) -> jnp.ndarray:
+        d = self.diagonal_p()
+        return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+
+    # -- padded kernels -------------------------------------------------------
+
+    def spmv(self, xp: jnp.ndarray) -> jnp.ndarray:
+        return _spmv_p(self.bands_p, xp, self._key())
+
+    def jacobi_sweep(
+        self, xp: jnp.ndarray, bp: jnp.ndarray, invd_p: jnp.ndarray, omega: float
+    ) -> jnp.ndarray:
+        return _jacobi_p(self.bands_p, invd_p, bp, xp, self._key(), float(omega))
+
+    def residual(
+        self, bp: jnp.ndarray, xp: jnp.ndarray, maskmul_p: jnp.ndarray
+    ) -> jnp.ndarray:
+        return _residual_p(self.bands_p, maskmul_p, bp, xp, self._key())
+
+
+def to_plane_matrix(A, box: StructuredBox) -> DiaPlaneMatrixP:
+    """Pad a DiaMatrix's bands into the padded-vector plane layout."""
+    s = to_stencil_matrix(A, box)
+    return DiaPlaneMatrixP(
+        bands_p=s.bands_p, nx=box.nx, ny=box.ny, nz=box.nz,
+        offs3=s.offs3, offsets=s.offsets,
+    )
+
+
 def to_stencil_matrix(A, box: StructuredBox) -> DiaStencilMatrix:
     """Pad a DiaMatrix's bands into the plane layout (one-time)."""
     nyp2, nzp = _pads(box)

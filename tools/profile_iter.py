@@ -99,6 +99,10 @@ def main():
         t2 = min(run(k2) for _ in range(3))
         return max(t2 - t1, 0.0) / (k2 - k1) * 1e3
 
+    if os.environ.get("PROFILE_PADDED") and platform == "tpu":
+        _profile_padded(box, c3d, mask, gvals, penalty)
+        return
+
     has_stencil = platform == "tpu"
     ops = [
         ("spmv A@x", lambda A, M, b, v:
@@ -126,6 +130,89 @@ def main():
               f"{time.time()-t0:.0f}s)", flush=True)
     print("one CG iteration = spmv + V-cycle + 2 dots + 3 axpys; "
           "compare against bench.py ms/iter", flush=True)
+
+
+def _profile_padded(box, c3d, mask, gvals, penalty):
+    """Padded-layout components (PROFILE_PADDED=1): the bench.py TPU path."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from arcanefem_tpu.mesh.structured import apply_penalty_dirichlet
+    from arcanefem_tpu.solver.iterative import precise_dot
+    from arcanefem_tpu.solver.multigrid import build_mg_padded
+    from arcanefem_tpu.sparse.dia_pallas import to_plane_matrix
+
+    nu = int(os.environ.get("BENCH_NU", "1"))
+
+    def setup(c3d):
+        A = box.assemble_stiffness(c3d)
+        rhs = box.source_rhs(c3d, 1.0)
+        A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
+        Ap = to_plane_matrix(A, box)
+        M = build_mg_padded(box, c3d, np.asarray(mask), penalty, nu=nu)
+        return Ap, Ap.pad_vec(rhs), M
+
+    def make_probe(op):
+        @jax.jit
+        def probe(c3d, k):
+            A, bp, M = setup(c3d)
+            v0 = A.pad_vec(jnp.where(mask, gvals, 0.0) + 1e-3)
+            v = lax.fori_loop(0, k, lambda i, v: op(A, M, bp, v), v0)
+            return jnp.sum(v)
+
+        return probe
+
+    def slope_ms(probe, k1=2, k2=10):
+        _ = float(probe(c3d, 1))
+
+        def run(k):
+            t0 = time.time()
+            _ = float(probe(c3d, k))
+            return time.time() - t0
+
+        t1 = min(run(k1) for _ in range(3))
+        t2 = min(run(k2) for _ in range(3))
+        return max(t2 - t1, 0.0) / (k2 - k1) * 1e3
+
+    def restrict_hop(A, M, b, v):
+        rc = M._restrict(0, v) * M.maskmul_p[1]
+        return v + 1e-9 * M._prolong(0, rc)
+
+    def coarse_chain(A, M, b, v):
+        # everything below the fine level: restrict, recurse, prolong
+        rc = M._restrict(0, v) * M.maskmul_p[1]
+        xc = M._vcycle(1, rc) * M.maskmul_p[1]
+        return v + 1e-9 * M._prolong(0, xc)
+
+    ops = [
+        ("spmv_p", lambda A, M, b, v: A.spmv(v)),
+        ("residual_p masked", lambda A, M, b, v:
+            A.residual(b, v, M.maskmul_p[0])),
+        ("jacobi_p sweep", lambda A, M, b, v:
+            A.jacobi_sweep(v, b, M.inv_diags_p[0], 0.8)),
+        ("smooth0 elementwise", lambda A, M, b, v:
+            0.8 * M.inv_diags_p[0] * (b + 1e-9 * v)),
+        ("restrict+prolong hop", restrict_hop),
+        ("coarse chain (l>=1)", coarse_chain),
+        ("precise_dot+axpy", lambda A, M, b, v:
+            v + precise_dot(v, b) * 1e-9 * b),
+        ("plaindot+axpy", lambda A, M, b, v:
+            v + jnp.dot(v.ravel(), b.ravel()) * 1e-9 * b),
+    ]
+    if os.environ.get("PROFILE_VCYCLE"):
+        ops.append(("V-cycle apply", lambda A, M, b, v: M.apply(v)))
+
+    for name, op in ops:
+        t0 = time.time()
+        ms = slope_ms(make_probe(op))
+        print(f"{name:22s} {ms:8.2f} ms   (compile+measure "
+              f"{time.time()-t0:.0f}s)", flush=True)
+    print(f"nu={nu}: iter = spmv + V(nu,nu) + 2 dots + 3 axpys; "
+          "V = smooth0 + nu-1+nu sweeps + residual + hops + coarse chain",
+          flush=True)
 
 
 if __name__ == "__main__":
