@@ -182,10 +182,16 @@ def _products(vals_tiled, lcols, lo, x, key):
 
 def _cached_spmv(topo):
     """Per-topology kernel cache, stored on the object (id()-keyed dicts
-    can alias after garbage collection)."""
+    can alias after garbage collection).  Prefers the diagonal-coherent
+    sorted kernel (pallas_spmv_diag.py, ~O(S) probes per tile) and falls
+    back to the exhaustive window sweep."""
     sp = getattr(topo, "_pallas_spmv", None)
     if sp is None:
-        sp = PallasBellSpmv(topo)
+        from .pallas_spmv_diag import DiagBellSpmv
+
+        sp = DiagBellSpmv(topo)
+        if not sp.available:
+            sp = PallasBellSpmv(topo)
         topo._pallas_spmv = sp
     return sp
 
