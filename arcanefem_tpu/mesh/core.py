@@ -142,7 +142,15 @@ def read_msh(path: str) -> Mesh:
 
 _FACES_OF = {
     # faces of each volume cell type, as local node index tuples
+    # (quadratic tuples carry the mid-edge nodes, gmsh edge ordering —
+    # see mesh/generate._Q_EDGES and ops/quadrature.shape_tables)
     "tetra4": [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)],
+    "tetra10": [
+        (0, 1, 2, 4, 5, 6),
+        (0, 1, 3, 4, 9, 7),
+        (0, 2, 3, 6, 8, 7),
+        (1, 2, 3, 5, 8, 9),
+    ],
     "hexa8": [
         (0, 1, 2, 3),
         (4, 5, 6, 7),
@@ -151,28 +159,44 @@ _FACES_OF = {
         (2, 3, 7, 6),
         (3, 0, 4, 7),
     ],
+    "hexa20": [
+        (0, 1, 2, 3, 8, 11, 13, 9),
+        (4, 5, 6, 7, 16, 18, 19, 17),
+        (0, 1, 5, 4, 8, 12, 16, 10),
+        (1, 2, 6, 5, 11, 14, 18, 12),
+        (2, 3, 7, 6, 13, 15, 19, 14),
+        (3, 0, 4, 7, 9, 10, 17, 15),
+    ],
     # edges of each surface cell type
     "tria3": [(0, 1), (1, 2), (2, 0)],
     "quad4": [(0, 1), (1, 2), (2, 3), (3, 0)],
+    "tria6": [(0, 1, 3), (1, 2, 4), (2, 0, 5)],
+    "quad8": [(0, 1, 4), (1, 2, 5), (2, 3, 6), (3, 0, 7)],
 }
+
+_VOLUME_TYPES = {"tetra4", "tetra10", "hexa8", "hexa20", "penta6", "pyramid5"}
 
 
 def _boundary_faces(mesh: Mesh) -> dict[str, np.ndarray]:
     """All faces that appear exactly once over all cells, grouped by face type."""
-    counts: dict[int, dict[bytes, tuple[int, np.ndarray]]] = {}
-    acc: dict[int, list[np.ndarray]] = {}
+    acc: dict[tuple, list[np.ndarray]] = {}
     for ctype, conn in mesh.cells.items():
+        vol = ctype in _VOLUME_TYPES
         for loc in _FACES_OF.get(ctype, []):
             faces = conn[:, loc]  # (nc, k)
-            acc.setdefault(len(loc), []).append(faces)
+            acc.setdefault((vol, len(loc)), []).append(faces)
     out: dict[str, np.ndarray] = {}
-    for k, lists in acc.items():
+    names = {
+        (False, 2): "line2", (False, 3): "line3",
+        (True, 3): "tria3", (True, 4): "quad4",
+        (True, 6): "tria6", (True, 8): "quad8",
+    }
+    for key_k, lists in acc.items():
         faces = np.concatenate(lists)
         key = np.sort(faces, axis=1)
         _uniq, idx, cnt = np.unique(
             key, axis=0, return_index=True, return_counts=True
         )
         boundary = faces[idx[cnt == 1]]
-        name = {2: "line2", 3: "tria3", 4: "quad4"}[k]
-        out[name] = boundary.astype(np.int32)
+        out[names[key_k]] = boundary.astype(np.int32)
     return out

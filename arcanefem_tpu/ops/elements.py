@@ -59,6 +59,17 @@ def stiffness_quad4(xyz: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def stiffness_iso(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Scalar Laplace stiffness Σ_g w·|detJ|·∇N_i·∇N_j via the general
+    isoparametric path — any zoo element incl. quadratic (tria6, tetra10,
+    quad8, hexa20), the CellFEMDispatcher role
+    (reference femutils/ArcaneFemFunctions.h:1224-2342)."""
+    from .quadrature import REF_DIM, iso_geometry
+
+    _, grads, wdet = iso_geometry(cell_type, xyz, REF_DIM[cell_type])
+    return jnp.einsum("gc,gcid,gcjd->cij", wdet, grads, grads)
+
+
 def stiffness(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
     if cell_type == "tria3":
         return stiffness_tria3(xyz)
@@ -66,6 +77,10 @@ def stiffness(cell_type: str, xyz: jnp.ndarray) -> jnp.ndarray:
         return stiffness_tetra4(xyz)
     if cell_type == "quad4":
         return stiffness_quad4(xyz)
+    from .quadrature import REF_DIM
+
+    if cell_type in REF_DIM and not cell_type.startswith("line"):
+        return stiffness_iso(cell_type, xyz)
     raise ValueError(f"no stiffness kernel for cell type '{cell_type}'")
 
 

@@ -219,24 +219,45 @@ def build_mg_padded(
     nu: int = 2,
     omega: float = 0.8,
     coarse_iters: int = 40,
+    fine=None,
+    fused: bool = True,
 ) -> MGPrecondP:
-    """build_mg twin producing the padded-layout hierarchy (TPU only)."""
-    from ..sparse.dia_pallas import to_plane_matrix
+    """build_mg twin producing the padded-layout hierarchy (TPU only).
 
-    dtype = coords3d.dtype
+    Every level is assembled+penalized by the fused plane kernel
+    (mesh/pallas_stencil.assemble_system_pallas) — one HBM pass per level.
+    Pass `fine` (an already-penalized DiaPlaneMatrixP, e.g. the solve's own
+    system matrix) to reuse it as level 0 instead of re-assembling.
+    fused=False re-discretizes via the plain assembly kernel +
+    to_plane_matrix transpose instead.
+    """
+    from ..mesh.pallas_stencil import assemble_system_pallas
+    from ..sparse.dia_pallas import pad_host_vec, to_plane_matrix
+
     mats, inv_diags, maskmuls, masks, shapes = [], [], [], [], []
     b, c3, mask = box, coords3d, np.asarray(dirichlet_mask)
     while True:
-        A = b.assemble_stiffness(c3)
-        d0 = A.offsets.index(0)
-        pen = jnp.where(jnp.asarray(mask), jnp.asarray(penalty, dtype), A.bands[d0])
-        Ap = to_plane_matrix(DiaMatrix(bands=A.bands.at[d0].set(pen),
-                                       offsets=A.offsets), b)
+        mask_p = jnp.asarray(pad_host_vec(b, mask.astype(np.float32)))
+        if fine is not None and not mats:
+            Ap = fine
+        elif not fused:
+            A = b.assemble_stiffness(c3)
+            d0 = A.offsets.index(0)
+            pen = jnp.where(
+                jnp.asarray(mask), jnp.asarray(penalty, A.bands.dtype),
+                A.bands[d0],
+            )
+            Ap = to_plane_matrix(
+                DiaMatrix(bands=A.bands.at[d0].set(pen), offsets=A.offsets), b
+            )
+        else:
+            Ap, _ = assemble_system_pallas(
+                b, c3, mask_p, jnp.zeros_like(mask_p), penalty
+            )
         mats.append(Ap)
         inv_diags.append(Ap.inv_diagonal_p())
-        mask_j = jnp.asarray(mask, jnp.float32)
-        maskmuls.append(Ap.pad_vec(1.0 - mask_j))
-        masks.append(Ap.pad_vec(mask_j) > 0.5)
+        maskmuls.append(1.0 - mask_p)  # pads get 1.0: harmless, they only
+        masks.append(mask_p > 0.5)  # ever multiply exact zeros
         shapes.append((b.nx + 1, b.ny + 1, b.nz + 1))
         if (
             b.nx % 2 or b.ny % 2 or b.nz % 2

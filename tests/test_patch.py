@@ -108,3 +108,91 @@ def test_patch_iso_quadrature_matches(ct_mesh):
     np.testing.assert_allclose(
         np.asarray(x).reshape(-1, dim), lin(mesh.coords), rtol=1e-7, atol=1e-11
     )
+
+
+# --- quadratic (P2) patch tests -------------------------------------------
+#
+# P2 elements must reproduce harmonic QUADRATIC fields exactly: Dirichlet
+# data from the field on the whole boundary (incl. midside nodes), zero
+# source, iso quadrature assembly (ops/elements.stiffness_iso).
+
+
+def test_patch_quadratic_tria6():
+    from arcanefem_tpu.mesh.generate import quadratize
+
+    mesh = quadratize(rect_tria_mesh(6, 5))
+    _patch_poisson(mesh, lambda c: c[:, 0] ** 2 - c[:, 1] ** 2 + 0.3 * c[:, 0])
+
+
+def test_patch_quadratic_tetra10():
+    from arcanefem_tpu.mesh.generate import quadratize
+
+    mesh = quadratize(box_tetra_mesh(3, 3, 4))
+    _patch_poisson(
+        mesh,
+        lambda c: c[:, 0] * c[:, 1]
+        + c[:, 1] * c[:, 2]
+        + c[:, 0] ** 2
+        - c[:, 2] ** 2,
+    )
+
+
+def test_quadratize_geometry():
+    """Midside nodes sit at edge midpoints; counts follow Euler's formula."""
+    from arcanefem_tpu.mesh.generate import quadratize
+
+    m = rect_tria_mesh(4, 3)
+    q = quadratize(m)
+    t6 = q.cells["tria6"]
+    assert t6.shape == (m.cells["tria3"].shape[0], 6)
+    # corner block preserved
+    np.testing.assert_array_equal(t6[:, :3], m.cells["tria3"])
+    # midside 3 = midpoint of corners (0,1), 4=(1,2), 5=(2,0)
+    for k, (a, b) in enumerate([(0, 1), (1, 2), (2, 0)]):
+        np.testing.assert_allclose(
+            q.coords[t6[:, 3 + k]],
+            0.5 * (q.coords[t6[:, a]] + q.coords[t6[:, b]]),
+        )
+    # boundary faces became line3 and their midpoints are on the boundary
+    for g, types in q.face_groups.items():
+        assert set(types) == {"line3"}
+
+
+@pytest.mark.parametrize("kind", ["tria6", "tetra10"])
+def test_patch_elasticity_quadratic(kind):
+    """Quadratic elements, vector blocks (passmo iso path): linear
+    displacement reproduced exactly through midside nodes too."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from arcanefem_tpu.mesh.generate import quadratize
+    from arcanefem_tpu.ops import quadrature as Q
+
+    mesh = quadratize(
+        rect_tria_mesh(4, 3) if kind == "tria6" else box_tetra_mesh(2, 2, 3)
+    )
+    dim = 2 if kind == "tria6" else 3
+    assert set(mesh.cells) == {kind}
+    prob = FemProblem(mesh, ndof=dim, dtype=np.float64)
+    A = prob.assemble_matrix(
+        lambda ct, xyz: Q.stiffness_blocks_iso(ct, xyz, 2.0, 1.0, dim)
+    )
+    system = prob.new_system(A, SolverOptions(rtol=1e-13, max_iter=8000))
+
+    rng = np.random.RandomState(1)
+    G = 1e-3 * rng.rand(dim, dim)
+
+    def lin(c):
+        return c[:, :dim] @ G.T
+
+    bnodes = np.unique(
+        np.concatenate([c.ravel() for c in mesh.boundary_faces().values()])
+    )
+    vals = lin(mesh.coords[bnodes])
+    for comp in range(dim):
+        prob.apply_dirichlet(
+            system, prob.dof_ids(bnodes, comp), vals[:, comp],
+            "RowColumnElimination",
+        )
+    x, _ = system.solve()
+    got = np.asarray(x).reshape(-1, dim)
+    np.testing.assert_allclose(got, lin(mesh.coords), rtol=1e-7, atol=1e-11)

@@ -77,6 +77,28 @@ def main():
                              use_precise_dot=True)
             return jnp.sum(xp) + res
 
+    elif stage == "pcgold":
+        # pcg composition but hierarchy from the plain (non-fused) assembly
+        # kernel + to_plane_matrix transpose — the committed-bench shape
+        from arcanefem_tpu.mesh.structured import apply_penalty_dirichlet
+        from arcanefem_tpu.solver.multigrid import MGPrecondP
+        from arcanefem_tpu.sparse.dia_pallas import to_plane_matrix
+
+        @jax.jit
+        def run(c3d):
+            A = box.assemble_stiffness(c3d)
+            rhs = box.source_rhs(c3d, 1.0)
+            mask = jnp.asarray(mask_np)
+            gv = jnp.asarray(gvals_np)
+            A, rhs = apply_penalty_dirichlet(A, rhs, mask, gv, penalty)
+            Ap = to_plane_matrix(A, box)
+            M = build_mg_padded(box, c3d, mask_np, penalty, nu=1, fine=Ap,
+                                fused=False)
+            xp, k, res = pcg(Ap, Ap.pad_vec(rhs), M,
+                             Ap.pad_vec(jnp.where(mask, gv, 0.0)),
+                             1e-8, 0.0, 3, use_precise_dot=True)
+            return jnp.sum(xp) + res
+
     elif stage == "mgx":
         # build_mg_padded with fine=None and mats-only sum: isolates the
         # traced [::2] coarse-coordinate slicing + hierarchy structure from
