@@ -47,6 +47,13 @@ class PassmoConfig:
     dt: float = 0.1
     beta: float = 0.25
     gamma: float = 0.5
+    # Generalized-alfa (Chung–Hulbert): the reference declares these options
+    # (Elastodynamic.axl:476-483 alfam/alfaf/alfa_method) but fatals on use
+    # ("Generalized-alfa will be done later", ElastodynamicModule.cc:1756);
+    # implemented here: M a_{n+1-αm} + K d_{n+1-αf} = 0 in displacement form
+    alfa_method: bool = False
+    alfam: float = 0.0
+    alfaf: float = 0.0
     ninteg: int = 2  # gauss-nint (Elastodynamic.axl:448)
     # material per cell group: name -> value (mesh <initialization>)
     rho: dict = field(default_factory=dict)
@@ -89,8 +96,10 @@ def solve(mesh: Mesh, cfg: PassmoConfig, dtype=np.float64,
     timer = timer or PhaseTimer(verbose=False)
     ndof = 3 if mesh.dim == 3 else 2
     beta, gamma, dt = cfg.beta, cfg.gamma, cfg.dt
+    am, af = (cfg.alfam, cfg.alfaf) if cfg.alfa_method else (0.0, 0.0)
     dt2 = dt * dt
-    cm = 1.0 / (beta * dt2)
+    cab = 1.0 / (beta * dt2)  # Newmark acceleration recovery factor
+    cm = (1.0 - am) * cab  # mass LHS factor ((1-αm)/(β·dt²))
 
     with timer.phase("initialize"):
         prob = FemProblem(mesh, ndof=ndof, dtype=dtype)
@@ -113,7 +122,7 @@ def solve(mesh: Mesh, cfg: PassmoConfig, dtype=np.float64,
                 ndof, cfg.ninteg,
             )
         )
-        A = Mm.with_values(cm * Mm.values + Km.values)
+        A = Mm.with_values(cm * Mm.values + (1.0 - af) * Km.values)
 
     pen = dtype_safe_penalty(cfg.penalty, dtype)
     system = prob.new_system(A, cfg.solver)
@@ -135,12 +144,15 @@ def solve(mesh: Mesh, cfg: PassmoConfig, dtype=np.float64,
     def step(U, V, Acc):
         u_pred = U + dt * V + dt2 * (0.5 - beta) * Acc
         v_pred = V + dt * (1.0 - gamma) * Acc
-        rhs = fbc.apply(Mm.spmv(cm * u_pred))
-        return rhs, u_pred, v_pred
+        # M[(1-αm)/(β·dt²)·u_pred − αm·a_n] − αf·K·d_n; αm=αf=0 -> Newmark
+        rhs = Mm.spmv(cm * u_pred - am * Acc) if am else Mm.spmv(cm * u_pred)
+        if af:
+            rhs = rhs - af * Km.spmv(U)
+        return fbc.apply(rhs), u_pred, v_pred
 
     @jax.jit
     def update(dU, u_pred, v_pred):
-        a_new = (dU - u_pred) * cm
+        a_new = (dU - u_pred) * cab
         return dU, v_pred + dt * gamma * a_new, a_new
 
     # state starts at rest: the Dirichlet values enter through the penalty
@@ -199,6 +211,9 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
         dt=opt_float(fem, "deltat", 0.1),
         beta=opt_float(fem, "beta", 0.25),
         gamma=opt_float(fem, "gamma", 0.5),
+        alfa_method=opt_text(fem, "alfa_method", "false").lower() == "true",
+        alfam=opt_float(fem, "alfam", 0.0),
+        alfaf=opt_float(fem, "alfaf", 0.0),
         ninteg=int(opt_float(fem, "gauss-nint", 2)),
         rho=dict(init.get("Rho", [])),
         lam=dict(init.get("Lambda", [])),
