@@ -1,0 +1,277 @@
+"""Aggregation AMG preconditioner for unstructured (BELL) systems.
+
+The BoomerAMG role (reference femutils/HypreDoFLinearSystem.cc:686-742:
+one AMG V-cycle preconditioning each CG iteration) for meshes where the
+geometric hierarchy of solver/multigrid.py does not apply.
+
+Smoothed aggregation (Vanek/Mandel/Brezina): tentative piecewise-constant
+aggregates smoothed by one damped-Jacobi step, P = (I − ω D⁻¹A)·T.  The
+TPU-first part is the *representation*: P is stored as a padded row-ELL
+(pcols/pvals), so prolongation is a static gather+einsum and restriction
+a single `segment_sum` — regular, static-shape, compiler-friendly ops
+(no dynamic sparse formats on device).  The V-cycle is damped-Jacobi
+smoothing over BellMatrix SpMVs (the Pallas window kernel on TPU), with
+a dense inverse at the coarsest level.  Setup (strength filter, greedy
+Vanek aggregation, prolongator smoothing, Galerkin triple product) runs
+once on the host with scipy.sparse; the apply path is pure jit.
+
+Scalar (block=1) systems only; callers fall back to (block-)Jacobi for
+block systems (make_precond in solver/iterative.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.bell import BellMatrix
+from ..sparse.topology import Topology
+
+
+def _ell_from_csr(indptr: np.ndarray, cols: np.ndarray) -> Topology:
+    """Minimal Topology (SpMV fields only) for a host-built CSR graph."""
+    n = len(indptr) - 1
+    deg = np.diff(indptr)
+    W = max(int(deg.max()), 1)
+    ell_cols = np.repeat(np.arange(n, dtype=np.int32)[:, None], W, axis=1)
+    ell_valid = np.zeros((n, W), bool)
+    idx = np.arange(len(cols))
+    slot = idx - np.repeat(indptr[:-1], deg)
+    rows = np.repeat(np.arange(n), deg)
+    ell_cols[rows, slot] = cols.astype(np.int32)
+    ell_valid[rows, slot] = True
+    flat = rows * W + slot
+    diag_pos = cols == rows
+    diag_slot = np.zeros(n, np.int32)
+    diag_slot[rows[diag_pos]] = flat[diag_pos].astype(np.int32)
+    return Topology(
+        n_nodes=n, width=W, ell_cols=ell_cols, ell_valid=ell_valid,
+        row_ptr=indptr.astype(np.int32), csr_cols=cols.astype(np.int32),
+        csr_to_ell=flat.astype(np.int32), diag_slot=diag_slot,
+        slot_maps={},
+    )
+
+
+def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
+    """Greedy Vanek aggregation on the strength graph S (scipy csr).
+
+    Rows with NO strong neighbour keep agg = -1: they get no coarse
+    representation at all (empty tentative-prolongator row).  This is
+    what isolates penalty/Dirichlet rows — their 1e30 diagonals fail
+    every strength test, and including them in an aggregate would swamp
+    that coarse row and zero the correction for every regular node in it.
+    The smoother handles them exactly instead (diag-dominant rows).
+    """
+    indptr, cols = S.indptr, S.indices
+    agg = np.full(n, -1, np.int64)
+    na = 0
+    # pass 1: roots whose (non-empty) strong neighbourhood is fully free
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nb = cols[indptr[i] : indptr[i + 1]]
+        if len(nb) and (agg[nb] == -1).all():
+            agg[i] = na
+            agg[nb] = na
+            na += 1
+    # pass 2: attach leftovers to a strongly-connected aggregate; rows
+    # with no strong neighbour stay out of the coarse space
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nb = cols[indptr[i] : indptr[i + 1]]
+        done = nb[agg[nb] != -1]
+        if len(done):
+            agg[i] = agg[done[0]]
+        elif len(nb):
+            agg[i] = na
+            na += 1
+    return agg, na
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["mats", "inv_diags", "pcols", "pvals", "coarse_inv"],
+    meta_fields=["nu", "omegas"],
+)
+@dataclass
+class AMGPrecond:
+    """Plain-aggregation AMG V-cycle (apply-only; setup is host-side)."""
+
+    mats: tuple  # BellMatrix per level (finest first)
+    inv_diags: tuple  # (N_l,) per level
+    pcols: tuple  # (N_l, Wp) int32 row-ELL columns of the prolongator
+    pvals: tuple  # (N_l, Wp) row-ELL values (0.0 on padding)
+    coarse_inv: jnp.ndarray  # dense inverse of the coarsest operator
+    nu: int = 1
+    # per-level damping c/ρ(D⁻¹A_l): SA Galerkin operators get stiffer with
+    # depth (ρ can exceed 2), so a fixed ω diverges on coarse levels
+    omegas: tuple = ()
+
+    def _smooth0(self, l: int, b, sweeps: int):
+        om = jnp.asarray(self.omegas[l], b.dtype)
+        x = om * self.inv_diags[l] * b
+        for _ in range(sweeps - 1):
+            x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
+        return x
+
+    def _vcycle(self, l: int, b):
+        if l == len(self.mats):
+            return self.coarse_inv @ b
+        x = self._smooth0(l, b, self.nu)
+        r = b - self.mats[l].spmv(x)
+        pc, pv = self.pcols[l], self.pvals[l]
+        nc = (
+            self.coarse_inv.shape[0]
+            if l + 1 == len(self.mats)
+            else self.mats[l + 1].n_nodes
+        )
+        rc = jax.ops.segment_sum(
+            (pv * r[:, None]).reshape(-1), pc.reshape(-1), num_segments=nc
+        )
+        xc = self._vcycle(l + 1, rc)
+        x = x + jnp.einsum("nw,nw->n", pv, xc[pc])
+        om = jnp.asarray(self.omegas[l], b.dtype)
+        for _ in range(self.nu):
+            x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
+        return x
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        return self._vcycle(0, r)
+
+
+def build_amg(
+    A: BellMatrix,
+    theta: float = 0.08,
+    coarse_size: int = 400,
+    max_levels: int = 12,
+    nu: int = 1,
+    omega: float = 4.0 / 3.0,  # smoother damping NUMERATOR: ω_l = omega/ρ_l
+    use_pallas: bool = True,
+) -> AMGPrecond:
+    """Host-side setup: strength -> aggregation -> Galerkin, per level.
+
+    A must be a finalized (BC-applied) scalar BellMatrix; penalty rows
+    become singleton aggregates (the strength filter isolates their huge
+    diagonals) and are handled exactly by the Jacobi smoother.
+    """
+    import scipy.sparse as sp
+
+    if A.block != 1:
+        raise ValueError("build_amg supports scalar (block=1) systems")
+    topo = A.topo
+    vals = np.asarray(A.values).reshape(topo.n_nodes, topo.width)
+    data = vals.reshape(-1)[topo.csr_to_ell]
+    Ah = sp.csr_matrix(
+        (data.astype(np.float64), topo.csr_cols, topo.row_ptr),
+        shape=(topo.n_nodes, topo.n_nodes),
+    )
+
+    def rho_est(M, iters=10, seed=0):
+        rng = np.random.RandomState(seed)
+        v = rng.rand(M.shape[0])
+        v /= np.linalg.norm(v)
+        lam = 1.0
+        for _ in range(iters):
+            w = M @ v
+            lam = float(np.linalg.norm(w))
+            if lam == 0:
+                return 1.0
+            v = w / lam
+        return lam
+
+    dtype = np.asarray(A.values).dtype
+    mats, inv_diags, Ps, rhos = [], [], [], []
+    cur = Ah
+    while cur.shape[0] > coarse_size and len(mats) < max_levels:
+        n = cur.shape[0]
+        d = np.asarray(cur.diagonal())
+        # strength: |a_ij| >= θ·sqrt(a_ii·a_jj), diagonal excluded
+        co = cur.tocoo()
+        scale = np.sqrt(np.abs(d[co.row] * d[co.col])) + 1e-300
+        keep = (np.abs(co.data) >= theta * scale) & (co.row != co.col)
+        S = sp.csr_matrix(
+            (co.data[keep], (co.row[keep], co.col[keep])), shape=cur.shape
+        )
+        agg, na = _aggregate(S, n)
+        if na == 0 or na >= n:  # no coarsening progress
+            break
+        sel = agg >= 0
+        T = sp.csr_matrix(
+            (np.ones(int(sel.sum())), (np.arange(n)[sel], agg[sel])),
+            shape=(n, na),
+        )
+        # prolongator smoothing P = (I − (4/3/ρ)·D⁻¹A)·T (standard SA
+        # damping, ω = 4/3 / ρ(D⁻¹A) by host power iteration)
+        Dinv = sp.diags(1.0 / np.where(d == 0, 1.0, d))
+        DA = (Dinv @ cur).tocsr()
+        rho = rho_est(DA)
+        rhos.append(rho)
+        P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho) * DA) @ T
+        P = P.tocsr()
+        P.eliminate_zeros()
+        nxt = (P.T @ cur @ P).tocsr()
+        nxt.sum_duplicates()
+
+        mats.append(cur)
+        Ps.append(P)
+        cur = nxt
+
+    def to_bell(M) -> BellMatrix:
+        M = M.tocsr()
+        M.sum_duplicates()
+        t = _ell_from_csr(M.indptr, M.indices)
+        v = np.zeros(t.n_nodes * t.width, dtype)
+        v[t.csr_to_ell] = M.data.astype(dtype)
+        bm = BellMatrix(
+            values=jnp.asarray(v.reshape(t.n_nodes, t.width, 1, 1)),
+            topo=t, block=1,
+        )
+        if use_pallas:
+            from ..sparse.pallas_spmv import as_pallas_matrix
+
+            bm = as_pallas_matrix(bm)
+        return bm
+
+    bell_mats = []
+    for M in mats:
+        bm = to_bell(M)
+        d = bm.diagonal()
+        inv_diags.append(
+            jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+        )
+        bell_mats.append(bm)
+
+    def p_ell(P):
+        deg = np.diff(P.indptr)
+        Wp = max(int(deg.max()), 1)
+        pc = np.zeros((P.shape[0], Wp), np.int32)
+        pv = np.zeros((P.shape[0], Wp), dtype)
+        rows = np.repeat(np.arange(P.shape[0]), deg)
+        slot = np.arange(len(P.indices)) - np.repeat(P.indptr[:-1], deg)
+        pc[rows, slot] = P.indices.astype(np.int32)
+        pv[rows, slot] = P.data.astype(dtype)
+        return jnp.asarray(pc), jnp.asarray(pv)
+
+    pcols, pvals = [], []
+    for P in Ps:
+        pc, pv = p_ell(P)
+        pcols.append(pc)
+        pvals.append(pv)
+
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(cur.toarray()).astype(dtype)
+    )
+    return AMGPrecond(
+        mats=tuple(bell_mats),
+        inv_diags=tuple(inv_diags),
+        pcols=tuple(pcols),
+        pvals=tuple(pvals),
+        coarse_inv=coarse_inv,
+        nu=nu,
+        omegas=tuple(omega / r for r in rhos),
+    )
