@@ -202,6 +202,11 @@ def parse_solver(fem: ET.Element) -> SolverOptions:
         opts.method = "dense"
     elif name == "HypreLinearSystem":
         opts.method = "cg"
+        # the Hypre backend always preconditions PCG with one BoomerAMG
+        # V-cycle (HypreDoFLinearSystem.cc:686-742) — map it onto the
+        # aggregation AMG (solver/amg.py; block systems fall back to
+        # block-Jacobi inside make_precond)
+        opts.preconditioner = "amg"
         rtol = opt_float(ls, "rtol")
         if rtol is not None:
             opts.rtol = rtol
@@ -217,6 +222,14 @@ def parse_solver(fem: ET.Element) -> SolverOptions:
             # Aleph epsilon 1e-15 is an absolute-ish tolerance; we keep a
             # tight relative tolerance for golden-file parity
             opts.rtol = max(eps, 1.0e-12)
+    pc = opt_text(ls, "preconditioner")
+    if pc is not None:
+        # Aleph preconditioner enum (AlephDoFLinearSystemFactory.axl):
+        # diagonal|amg|ainv|ic|poly|ilu|ilup|none — amg maps onto the
+        # aggregation AMG, the rest onto their closest on-device kind
+        opts.preconditioner = {
+            "diagonal": "jacobi", "amg": "amg", "none": "none",
+        }.get(pc, "jacobi")
     method = opt_text(ls, "solver-method")
     if method in ("bicgstab", "bicgstab2", "gmres"):
         # nonsymmetric Krylov requests (AlephDoFLinearSystemFactory.axl

@@ -76,42 +76,69 @@ def main():
         return box.assemble_stiffness(c3d)
 
     precond = os.environ.get("BENCH_PRECOND", "mg")
-    nu = int(os.environ.get("BENCH_NU", "2"))
+    nu = int(os.environ.get("BENCH_NU", "1"))
 
-    @jax.jit
-    def solve(c3d):
-        A = box.assemble_stiffness(c3d)
-        rhs = box.source_rhs(c3d, 1.0)
-        A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
-        x0 = jnp.where(mask, gvals, 0.0)
-        if precond == "mg" and platform == "tpu":
-            # geometric-multigrid-preconditioned CG: the BoomerAMG+PCG role
-            # (HypreDoFLinearSystem.cc:686-742); hierarchy setup (coarse
-            # rediscretizations) is traced into this step, so the timed
-            # solve includes the preconditioner setup like Hypre's does.
-            # Padded plane layout end-to-end: vectors keep zero y/z pads, so
-            # dots are exact and no pad/unpad pass runs inside the loop.
-            from arcanefem_tpu.sparse.dia_pallas import to_plane_matrix
-            from arcanefem_tpu.solver.multigrid import build_mg_padded
+    # BENCH_FUSED=1 opts into the fully-fused assemble+RHS+BC kernel path;
+    # default is the non-fused hierarchy, which has proven stable against
+    # the flaky TPU-worker fault the fused composition still triggers
+    # inside the PCG while_loop (ROADMAP.md "TPU worker fault
+    # investigation"; tools/probe_crash.py pcg vs pcgold)
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
-            Ap = to_plane_matrix(A, box)
-            M = build_mg_padded(box, c3d, np.asarray(mask), penalty, nu=nu)
+    if precond == "mg" and platform == "tpu":
+        # geometric-multigrid-preconditioned CG: the BoomerAMG+PCG role
+        # (HypreDoFLinearSystem.cc:686-742); hierarchy setup (coarse
+        # rediscretizations) is traced into this step, so the timed
+        # solve includes the preconditioner setup like Hypre's does.
+        # Padded plane layout end-to-end: vectors keep zero y/z pads, so
+        # dots are exact and no pad/unpad pass runs inside the loop.
+        from arcanefem_tpu.mesh.pallas_stencil import assemble_system_pallas
+        from arcanefem_tpu.sparse.dia_pallas import pad_host_vec, to_plane_matrix
+        from arcanefem_tpu.solver.multigrid import build_mg_padded
+
+        mask_np = np.asarray(mask)
+        mask_p = jnp.asarray(pad_host_vec(box, mask_np.astype(np.float32)))
+        pg_p = jnp.asarray(pad_host_vec(box, penalty * gvals_np * mask_np))
+        x0_p = jnp.asarray(pad_host_vec(box, gvals_np * mask_np))
+
+        @jax.jit
+        def solve(c3d):
+            if fused:
+                Ap, rhs_p = assemble_system_pallas(
+                    box, c3d, mask_p, pg_p, penalty, f=1.0
+                )
+            else:
+                A = box.assemble_stiffness(c3d)
+                rhs = box.source_rhs(c3d, 1.0)
+                A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
+                Ap = to_plane_matrix(A, box)
+                rhs_p = Ap.pad_vec(rhs)
+            M = build_mg_padded(box, c3d, mask_np, penalty, nu=nu,
+                                fine=Ap, fused=fused)
             xp, k, res = pcg(
-                Ap, Ap.pad_vec(rhs), M, Ap.pad_vec(x0), rtol, 0.0, 5000,
-                use_precise_dot=True,
+                Ap, rhs_p, M, x0_p, rtol, 0.0, 5000, use_precise_dot=True
             )
             return Ap.unpad_vec(xp), k, res
-        if precond == "mg":
-            M = build_mg(box, c3d, np.asarray(mask), penalty, nu=nu)
-        else:
-            d = A.diagonal()
-            inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
-            M = Precond(data=(inv,), kind="jacobi")
-        if platform == "tpu":
-            from arcanefem_tpu.sparse.dia_pallas import to_stencil_matrix
 
-            A = to_stencil_matrix(A, box)
-        return pcg(A, rhs, M, x0, rtol, 0.0, 5000, use_precise_dot=True)
+    else:
+
+        @jax.jit
+        def solve(c3d):
+            A = box.assemble_stiffness(c3d)
+            rhs = box.source_rhs(c3d, 1.0)
+            A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
+            x0 = jnp.where(mask, gvals, 0.0)
+            if precond == "mg":
+                M = build_mg(box, c3d, np.asarray(mask), penalty, nu=nu)
+            else:
+                d = A.diagonal()
+                inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+                M = Precond(data=(inv,), kind="jacobi")
+            if platform == "tpu":
+                from arcanefem_tpu.sparse.dia_pallas import to_stencil_matrix
+
+                A = to_stencil_matrix(A, box)
+            return pcg(A, rhs, M, x0, rtol, 0.0, 5000, use_precise_dot=True)
 
     # --- assembly throughput (cache-warmed, slope-timed) ---------------------
     t0 = time.time()
@@ -133,27 +160,35 @@ def main():
     asm_mdofs = box.n_nodes / asm_s / 1e6
     log(f"assembly {asm_s*1e3:.1f} ms -> {asm_mdofs:.0f} MDoF/s")
 
-    # --- solve to rtol -------------------------------------------------------
-    t0 = time.time()
-    x, iters, res = solve(c3d)
-    _ = float(jnp.sum(x))
-    log(f"solve compile+first {time.time()-t0:.1f}s")
-
+    # --- solve to rtol (slope-timed like assembly: the host->device fetch
+    # through the axon tunnel costs ~45 ms, which a single-shot measurement
+    # would book against the solve) --------------------------------------------
     t0 = time.time()
     x, iters, res = solve(c3d)
     s = float(jnp.sum(x))
-    total_first = time.time() - t0  # assembly+bc+solve end-to-end
+    log(f"solve compile+first {time.time()-t0:.1f}s")
+
+    def run_solve(reps):
+        t0 = time.time()
+        for _ in range(reps):
+            x, iters, res = solve(c3d)
+        _ = float(jnp.sum(x))
+        return time.time() - t0, iters, res
+
+    t1, iters, res = min(run_solve(1) for _ in range(2))
+    t2, iters, res = min(run_solve(2) for _ in range(2))
+    total = max(t2 - t1, 1e-9)  # one full assemble+rhs+bc+mg-setup+pcg pass
     iters = int(iters)
-    # subtract the (re-)assembly part to report solve alone as well
-    solve_s = max(total_first - asm_s, 0.0)
     log(
-        f"solve {solve_s:.2f} s ({iters} iters, rel res {float(res):.2e}, "
-        f"{solve_s/max(iters,1)*1e3:.2f} ms/iter, checksum {s:.4f})"
+        f"solve end-to-end {total:.3f} s ({iters} iters, rel res "
+        f"{float(res):.2e}, {(total-asm_s)/max(iters,1)*1e3:.2f} ms/iter "
+        f"after assembly, checksum {s:.4f}; single-shot incl. host RTT "
+        f"{t1:.3f} s)"
     )
     assert float(res) <= rtol * 1.5, "CG did not converge to target"
     assert np.isfinite(s), "non-finite solution"
 
-    value = asm_s + solve_s
+    value = total
     print(
         json.dumps(
             {
