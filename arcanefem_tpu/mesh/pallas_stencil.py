@@ -3,9 +3,10 @@
 XLA executes the 96 slice-add stencil assembly (mesh/structured.py) at
 ~300 ms for 224³ because every padded contribution term is materialized in
 HBM.  This kernel streams the box one output node-plane at a time: per grid
-step it DMAs three coordinate planes into VMEM, computes all tet geometry
-and the 96 (tet, a, b) contributions on-chip, and writes one finished
-(15, ny+1, nzp) band plane — a single HBM pass over inputs and outputs.
+step three coordinate-plane block views (auto-pipelined, double-buffered by
+Pallas) land in VMEM, all tet geometry and the 96 (tet, a, b) contributions
+are computed on-chip, and one finished (15, ny+1, nzp) band plane is
+written — a single HBM pass over inputs and outputs.
 
 Layout: z is padded to a lane multiple (nzp); x gets one ghost plane on
 each side so every output plane sees both adjacent hex planes (ghost hexes
@@ -28,26 +29,49 @@ from .structured import _HEX_CORNERS, _TETS, StructuredBox
 LANE = 128
 
 
-def _plane_kernel(box: StructuredBox, nzp: int):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _plane_kernel(box: StructuredBox, nzp: int, off: int = 0,
+                  with_rhs: bool = False, bc=None):
+    """off: y/z offset of the output's real region (1 = dia_pallas plane
+    layout with ghost row/lane 0).  with_rhs: accumulate Σ vol/4 per node
+    into an extra channel after the bands (constant-source RHS quadrature,
+    the source_rhs role fused into assembly).  bc=(penalty, f): also apply
+    penalty Dirichlet in-kernel — diag := penalty and rhs := penalty·g on
+    masked rows, rhs := f·Σvol/4 elsewhere (mask and penalty·g·mask planes
+    come in as two extra inputs) — the whole
+    assemble+RHS+apply_penalty_dirichlet pipeline in one HBM pass."""
     nx, ny, nz = box.nx, box.ny, box.nz
     d_index = {d: i for i, d in enumerate(box.offsets)}
+    ndiag = len(box.offsets)
 
-    def body(cp_hbm, out_ref, win_ref, sem):
-        i = pl.program_id(0)
-        cp = pltpu.make_async_copy(cp_hbm.at[pl.ds(i, 3)], win_ref, sem)
-        cp.start()
-        cp.wait()
+    def body(*refs):
+        if bc is not None:
+            c0, c1, c2, mask_ref, pg_ref, out_ref, rhs_ref = refs
+        elif with_rhs:
+            c0, c1, c2, out_ref, rhs_ref = refs
+        else:
+            (c0, c1, c2, out_ref), rhs_ref = refs, None
+        _body((c0, c1, c2), out_ref, rhs_ref)
+        if bc is not None:
+            penalty, f = bc
+            m = mask_ref[0]  # 1.0 on Dirichlet rows, 0.0 elsewhere/pads
+            free = 1.0 - m
+            d0 = d_index[0]
+            out_ref[d0] = out_ref[d0] * free + penalty * m
+            # pg = penalty·g·mask precomputed host-side (zero pads)
+            rhs_ref[0] = rhs_ref[0] * (f * free) + pg_ref[0]
 
+    def _body(win, out_ref, rhs_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
+        if rhs_ref is not None:
+            rhs_ref[...] = jnp.zeros_like(rhs_ref)
 
         # corner plane extractor: hex plane h (0: below node plane i, 1: at)
-        # window layout: (xplane, component, y, z) with z on lanes
+        # win: three auto-pipelined coordinate-plane views (1, 3, y, z),
+        # z on lanes — Pallas double-buffers each view, so the window
+        # fetch overlaps compute (no manual DMA / scratch / semaphore)
         def corner(h, c, comp):
             di, dj, dk = _HEX_CORNERS[c]
-            return win_ref[h + di, comp, dj : dj + ny, dk : dk + nz]
+            return win[h + di][0, comp, dj : dj + ny, dk : dk + nz]
 
         for h in (0, 1):
             for tet in _TETS:
@@ -85,53 +109,95 @@ def _plane_kernel(box: StructuredBox, nzp: int):
                     if dia != 1 - h:
                         continue  # this corner's row is not on plane i
                     la = box._lin(_HEX_CORNERS[ca])
+                    ya, za = off + dja, off + dka
                     for b, cb in enumerate(tet):
                         d = box._lin(_HEX_CORNERS[cb]) - la
                         contrib = (vol * inv * inv) * (
                             gx[a] * gx[b] + gy[a] * gy[b] + gz[a] * gz[b]
                         )
                         di = d_index[d]
-                        cur = out_ref[di, dja : dja + ny, dka : dka + nz]
-                        out_ref[di, dja : dja + ny, dka : dka + nz] = cur + contrib
+                        cur = out_ref[di, ya : ya + ny, za : za + nz]
+                        out_ref[di, ya : ya + ny, za : za + nz] = cur + contrib
+                    if with_rhs:
+                        cur = rhs_ref[0, ya : ya + ny, za : za + nz]
+                        rhs_ref[0, ya : ya + ny, za : za + nz] = cur + vol * 0.25
 
     return body
 
 
 @partial(jax.jit, static_argnames=("key",))
-def _run(cp, key):
+def _run(cp, key, *bc_planes):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx, nyp8, nzp, ndiag = key
+    nx, nyp8, nzp, ndiag, off, with_rhs, bc = key
     body_box = _run._boxes[key]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(nx + 1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, ndiag, nyp8, nzp), lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((3, 3, nyp8, nzp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
 
-    def kernel(cp_hbm, out_ref, win_ref, sem):
-        _plane_kernel(body_box, nzp)(cp_hbm, out_ref.at[0], win_ref, sem)
+    # coordinate window = three views of cp at x-offsets 0/1/2 (cp has one
+    # ghost plane each side, so i+2 <= nx+2 is always in bounds)
+    def cview(delta):
+        return pl.BlockSpec(
+            (1, 3, nyp8, nzp), lambda i, d=delta: (i + d, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    plane_spec = pl.BlockSpec(
+        (1, nyp8, nzp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [cview(0), cview(1), cview(2)]
+    n_in = 3
+    if bc is not None:
+        in_specs += [plane_spec, plane_spec]
+        n_in = 5
+
+    band_spec = pl.BlockSpec(
+        (1, ndiag, nyp8, nzp), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    band_shape = jax.ShapeDtypeStruct((nx + 1, ndiag, nyp8, nzp), jnp.float32)
+    if with_rhs:
+        # RHS is a SEPARATE output (not an extra band channel): bands keep
+        # exactly `ndiag` channels so every downstream BlockSpec divides
+        out_specs = (band_spec, plane_spec)
+        out_shape = (
+            band_shape,
+            jax.ShapeDtypeStruct((nx + 1, nyp8, nzp), jnp.float32),
+        )
+    else:
+        out_specs, out_shape = band_spec, band_shape
+
+    def kernel(*refs):
+        # refs: c0,c1,c2 [+ mask, pg] + bands [+ rhs]; strip the bands
+        # block's leading dim
+        _plane_kernel(body_box, nzp, off, with_rhs, bc)(
+            *refs[:n_in], refs[n_in].at[0], *refs[n_in + 1 :]
+        )
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nx + 1, ndiag, nyp8, nzp), jnp.float32),
-        grid_spec=grid_spec,
+        grid=(nx + 1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(cp)
+    )(cp, cp, cp, *bc_planes)
 
 
 _run._boxes = {}
+
+
+def _coord_planes(box: StructuredBox, coords3d, nyp, nzp):
+    """Pad coords: ghost x-planes (duplicated edges -> degenerate hexes ->
+    zero), y/z to full tiles, components moved ahead of (y, z)."""
+    ny, nz = box.ny, box.nz
+    cp = jnp.pad(
+        coords3d.astype(jnp.float32),
+        ((1, 1), (0, nyp - (ny + 1)), (0, nzp - (nz + 1)), (0, 0)),
+        mode="edge",
+    )
+    return jnp.moveaxis(cp, 3, 1)  # (nx+3, 3, nyp, nzp)
 
 
 def assemble_stiffness_pallas(box: StructuredBox, coords3d: jnp.ndarray):
@@ -147,16 +213,48 @@ def assemble_stiffness_pallas(box: StructuredBox, coords3d: jnp.ndarray):
     nzp = -(-(nz + 1) // LANE) * LANE
     ndiag = len(box.offsets)
 
-    # ghost x-planes (duplicated edges -> degenerate hexes -> zero), y/z
-    # padding to full tiles, components moved ahead of (y, z)
-    cp = jnp.pad(
-        coords3d.astype(jnp.float32),
-        ((1, 1), (0, nyp8 - (ny + 1)), (0, nzp - (nz + 1)), (0, 0)),
-        mode="edge",
-    )
-    cp = jnp.moveaxis(cp, 3, 1)  # (nx+3, 3, nyp8, nzp)
-    key = (nx, nyp8, nzp, ndiag)
+    cp = _coord_planes(box, coords3d, nyp8, nzp)
+    key = (nx, nyp8, nzp, ndiag, 0, False, None)
     _run._boxes[key] = box
     out = _run(cp, key)  # (nx+1, ndiag, nyp8, nzp)
     bands = jnp.moveaxis(out[:, :, : ny + 1, : nz + 1], 1, 0).reshape(ndiag, -1)
     return DiaMatrix(bands=bands, offsets=box.offsets)
+
+
+def assemble_system_pallas(
+    box: StructuredBox,
+    coords3d: jnp.ndarray,
+    mask_p: jnp.ndarray | None = None,
+    pg_p: jnp.ndarray | None = None,
+    penalty: float = 0.0,
+    f: float = 1.0,
+):
+    """Fused assemble + RHS + penalty Dirichlet, straight into the padded
+    plane layout — ONE HBM pass for the whole stationary-system build
+    (assembly, modules/poisson FemModule._doStationarySolve pipeline).
+
+    mask_p: padded (nx+1, nyp2, nzp) f32 plane, 1.0 on Dirichlet rows;
+    pg_p: padded penalty·g·mask plane.  When mask_p is None only
+    (matrix, Σvol/4) quadrature is produced (rhs = f·volq, no BC).
+
+    Returns (mat, rhs_p): mat is a sparse.dia_pallas.DiaPlaneMatrixP
+    (bands straight in the x-major plane layout), rhs_p the padded RHS
+    plane (or Σvol/4 when no BC requested) — a separate kernel output.
+    """
+    from ..sparse.dia_pallas import DiaPlaneMatrixP, _pads, offsets3d
+
+    nx, ny, nz = box.nx, box.ny, box.nz
+    nyp2, nzp = _pads(box)
+    ndiag = len(box.offsets)
+
+    cp = _coord_planes(box, coords3d, nyp2, nzp)
+    bc = (float(penalty), float(f)) if mask_p is not None else None
+    key = (nx, nyp2, nzp, ndiag, 1, True, bc)
+    _run._boxes[key] = box
+    planes = (mask_p, pg_p) if bc is not None else ()
+    bands, rhs_p = _run(cp, key, *planes)  # (nx+1, ndiag, nyp2, nzp), plane
+    mat = DiaPlaneMatrixP(
+        bands_p=bands, nx=nx, ny=ny, nz=nz,
+        offs3=offsets3d(box), offsets=box.offsets,
+    )
+    return mat, rhs_p

@@ -276,8 +276,10 @@ def _padded_specs(key):
             memory_space=pltpu.VMEM,
         )
 
+    # bands are x-major (nx+1, D, nyp2, nzp): the assembly kernel's
+    # natural output order, so no transpose is ever materialized
     band_spec = pl.BlockSpec(
-        (D, 1, nyp2, nzp), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        (1, D, nyp2, nzp), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     plane_spec = pl.BlockSpec(
         (1, nyp2, nzp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -295,7 +297,7 @@ def _acc_Ax_views(offs3, nyp2, nzp, bands_ref, xviews):
             shifted = pltpu.roll(shifted, (-dy) % nyp2, 0)
         if dz:
             shifted = pltpu.roll(shifted, (-dz) % nzp, 1)
-        acc = acc + bands_ref[k, 0] * shifted
+        acc = acc + bands_ref[0, k] * shifted
     return acc
 
 
@@ -380,9 +382,11 @@ def _residual_p(bands_p, maskmul_p, bp, xp, key):
 class DiaPlaneMatrixP:
     """Plane-layout DIA operator over PADDED vectors (zero-copy MG-PCG).
 
-    Same bands_p as DiaStencilMatrix, but spmv/jacobi_sweep/residual take
-    and return (nx+1, nyp2, nzp) padded vectors directly — no pad/unpad per
-    call.  Use pad_vec/unpad_vec once at solve entry/exit.
+    bands_p is x-major (nx+1, D, nyp2, nzp) — the Pallas assembly kernel's
+    native output order (mesh/pallas_stencil.assemble_system_pallas) so no
+    transpose is materialized.  spmv/jacobi_sweep/residual take and return
+    (nx+1, nyp2, nzp) padded vectors directly — no pad/unpad per call.
+    Use pad_vec/unpad_vec once at solve entry/exit.
     """
 
     bands_p: jnp.ndarray
@@ -412,7 +416,7 @@ class DiaPlaneMatrixP:
         return xp[:, 1 : ny + 2, 1 : nz + 2].reshape(-1).astype(dtype)
 
     def diagonal_p(self) -> jnp.ndarray:
-        return self.bands_p[self.offsets.index(0)]
+        return self.bands_p[:, self.offsets.index(0)]
 
     def inv_diagonal_p(self) -> jnp.ndarray:
         d = self.diagonal_p()
@@ -434,11 +438,24 @@ class DiaPlaneMatrixP:
         return _residual_p(self.bands_p, maskmul_p, bp, xp, self._key())
 
 
+def pad_host_vec(box: StructuredBox, x_flat) -> "np.ndarray":
+    """Host-side pad of a flat (n_nodes,) vector into the plane layout."""
+    import numpy as np
+
+    nyp2, nzp = _pads(box)
+    x3 = np.asarray(x_flat, np.float32).reshape(box.nx + 1, box.ny + 1, box.nz + 1)
+    return np.pad(x3, ((0, 0), (1, nyp2 - box.ny - 2), (1, nzp - box.nz - 2)))
+
+
 def to_plane_matrix(A, box: StructuredBox) -> DiaPlaneMatrixP:
-    """Pad a DiaMatrix's bands into the padded-vector plane layout."""
+    """Pad a DiaMatrix's bands into the x-major padded plane layout.
+
+    One transpose pass; prefer mesh/pallas_stencil.assemble_plane_pallas,
+    which emits this layout directly from assembly.
+    """
     s = to_stencil_matrix(A, box)
     return DiaPlaneMatrixP(
-        bands_p=s.bands_p, nx=box.nx, ny=box.ny, nz=box.nz,
+        bands_p=jnp.moveaxis(s.bands_p, 0, 1), nx=box.nx, ny=box.ny, nz=box.nz,
         offs3=s.offs3, offsets=s.offsets,
     )
 

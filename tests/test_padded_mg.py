@@ -91,7 +91,8 @@ def test_pad_roundtrip_cpu():
         ((0, 0), (0, 0), (1, nyp2 - box.ny - 2), (1, nzp - box.nz - 2)),
     )
     P = DiaPlaneMatrixP(
-        bands_p=bands_p, nx=box.nx, ny=box.ny, nz=box.nz,
+        bands_p=jnp.moveaxis(bands_p, 0, 1),  # x-major layout
+        nx=box.nx, ny=box.ny, nz=box.nz,
         offs3=offsets3d(box), offsets=box.offsets,
     )
     x = jnp.asarray(np.random.RandomState(0).rand(box.n_nodes).astype(np.float32))

@@ -77,6 +77,23 @@ def main():
                              use_precise_dot=True)
             return jnp.sum(xp) + res
 
+    elif stage == "spmv":
+        # isolate _spmv_p (the one kernel pcg adds over vcyc): chained
+        # padded-layout SpMVs after a fused assembly
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+        @jax.jit
+        def run(c3d):
+            Ap, rhs_p = assemble_system_pallas(box, c3d, mask_p, pg_p, penalty, f=1.0)
+            x = rhs_p / (1.0 + jnp.abs(rhs_p))  # tame 1e12 penalty entries
+
+            def step(_, x):
+                y = Ap.spmv(x)
+                return y / (1.0 + jnp.abs(y))
+
+            x = jax.lax.fori_loop(0, reps, step, x)
+            return jnp.sum(x)
+
     elif stage == "pcgold":
         # pcg composition but hierarchy from the plain (non-fused) assembly
         # kernel + to_plane_matrix transpose — the committed-bench shape
