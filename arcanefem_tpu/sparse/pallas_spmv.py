@@ -182,15 +182,24 @@ def _products(vals_tiled, lcols, lo, x, key):
 
 def _cached_spmv(topo):
     """Per-topology kernel cache, stored on the object (id()-keyed dicts
-    can alias after garbage collection).  Prefers the diagonal-coherent
-    sorted kernel (pallas_spmv_diag.py, ~O(S) probes per tile) and falls
-    back to the exhaustive window sweep."""
+    can alias after garbage collection).
+
+    The exhaustive window sweep is the default: the diagonal-coherent
+    sorted kernel (pallas_spmv_diag.py) needs ~5x fewer probes per tile
+    but each dynamic-fori_loop probe costs ~15x a sweep step, measuring
+    3x SLOWER at 531k nodes on v5e (tools/bench_spmv.py 80: window
+    6.7 ms vs diag 21.7 ms vs XLA 62 ms).  AFEM_SPMV=diag opts in for
+    experimentation."""
+    import os
+
     sp = getattr(topo, "_pallas_spmv", None)
     if sp is None:
-        from .pallas_spmv_diag import DiagBellSpmv
+        sp = None
+        if os.environ.get("AFEM_SPMV") == "diag":
+            from .pallas_spmv_diag import DiagBellSpmv
 
-        sp = DiagBellSpmv(topo)
-        if not sp.available:
+            sp = DiagBellSpmv(topo)
+        if sp is None or not sp.available:
             sp = PallasBellSpmv(topo)
         topo._pallas_spmv = sp
     return sp

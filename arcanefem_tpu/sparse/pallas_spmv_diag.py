@@ -63,11 +63,13 @@ def plan_diag(
     cols_in: np.ndarray,
     pad_target: int,
     block_rows: int = 4096,
-    max_window: int = 64 * 1024,
-    max_probes: int = 64,
+    max_window: int = 512 * 1024,
+    max_probes: int = 48,
 ) -> DiagPlan | None:
-    """None if the columns are not diagonal-coherent enough (S too big),
-    a window overflows, or a request sits below its sublane's reach."""
+    """None if the columns are not diagonal-coherent enough or a window
+    overflows.  The kernel's cost scales with the MEAN per-tile probe
+    count (`scnt` bounds a dynamic fori_loop per tile), so `max_probes`
+    gates the mean; the static max S only constrains the VMEM window."""
     n, W = cols_in.shape
     R = block_rows
     if R % TILE_ROWS:
@@ -97,7 +99,7 @@ def plan_diag(
     c0 = dmin // LANE
     scnt = (dmax // LANE - c0) + 1  # per-tile needed probes
     S = int(scnt.max())
-    if S > max_probes:
+    if float(scnt.mean()) > max_probes:
         return None
     v128 = int((c0 + S).max()) + SUB - 1  # probe t=S-1 reads rows c0+S-1+7
     v128 = -(-v128 // SUB) * SUB

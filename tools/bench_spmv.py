@@ -73,7 +73,8 @@ def main():
 
     dia = DiagBellSpmv(topo)
     print(f"diag available={dia.available}" +
-          (f" S={dia.plan.n_probes} win={dia.plan.window}" if dia.available else ""))
+          (f" S={dia.plan.n_probes} mean={float(dia.plan.scnt.mean()):.1f}"
+           f" win={dia.plan.window}" if dia.available else ""))
     if dia.available:
         y = timed("diag", dia)
         np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
