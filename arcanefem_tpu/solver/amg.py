@@ -15,8 +15,12 @@ a dense inverse at the coarsest level.  Setup (strength filter, greedy
 Vanek aggregation, prolongator smoothing, Galerkin triple product) runs
 once on the host with scipy.sparse; the apply path is pure jit.
 
-Scalar (block=1) systems only; callers fall back to (block-)Jacobi for
-block systems (make_precond in solver/iterative.py).
+Block (vector) systems are handled by NODE aggregation on the Frobenius
+norms of the b×b coupling blocks with a component-preserving tentative
+prolongator (T = agg ⊗ I_b, the translations-only nullspace; rigid-body
+rotations are future work), then the same smoothing/Galerkin machinery on
+the scalar expansion — dof ordering node·b+comp is preserved on every
+level so the node/dof relationship recurses.
 """
 
 from __future__ import annotations
@@ -161,15 +165,34 @@ def build_amg(
     """
     import scipy.sparse as sp
 
-    if A.block != 1:
-        raise ValueError("build_amg supports scalar (block=1) systems")
     topo = A.topo
-    vals = np.asarray(A.values).reshape(topo.n_nodes, topo.width)
-    data = vals.reshape(-1)[topo.csr_to_ell]
-    Ah = sp.csr_matrix(
-        (data.astype(np.float64), topo.csr_cols, topo.row_ptr),
-        shape=(topo.n_nodes, topo.n_nodes),
-    )
+    b = A.block
+    if b == 1:
+        vals = np.asarray(A.values).reshape(topo.n_nodes, topo.width)
+        data = vals.reshape(-1)[topo.csr_to_ell]
+        Ah = sp.csr_matrix(
+            (data.astype(np.float64), topo.csr_cols, topo.row_ptr),
+            shape=(topo.n_nodes, topo.n_nodes),
+        )
+    else:
+        # scalar expansion of the block BELL, dof = node*b + comp
+        vals = np.asarray(A.values, np.float64)  # (N, W, b, b)
+        N, W = topo.n_nodes, topo.width
+        blocks = vals.reshape(N * W, b, b)[topo.csr_to_ell]  # (nnz, b, b)
+        rows_n = np.repeat(np.arange(N), np.diff(topo.row_ptr))
+        r = (rows_n[:, None, None] * b + np.arange(b)[None, :, None])
+        c = (topo.csr_cols[:, None, None] * b + np.arange(b)[None, None, :])
+        Ah = sp.csr_matrix(
+            (
+                blocks.reshape(-1),
+                (
+                    np.broadcast_to(r, blocks.shape).reshape(-1),
+                    np.broadcast_to(c, blocks.shape).reshape(-1),
+                ),
+            ),
+            shape=(N * b, N * b),
+        )
+        Ah.sum_duplicates()
 
     def rho_est(M, iters=10, seed=0):
         rng = np.random.RandomState(seed)
@@ -187,27 +210,54 @@ def build_amg(
     dtype = np.asarray(A.values).dtype
     mats, inv_diags, Ps, rhos = [], [], [], []
     cur = Ah
-    while cur.shape[0] > coarse_size and len(mats) < max_levels:
+    while cur.shape[0] > coarse_size * b and len(mats) < max_levels:
         n = cur.shape[0]
-        d = np.asarray(cur.diagonal())
+        nn = n // b  # node count (dofs stay node-major on every level)
+        if b > 1:
+            # node-level strength on block Frobenius norms: E^T |A|² E
+            # with E = I_nn ⊗ 1_b collapses each b×b block to a scalar
+            E = sp.kron(
+                sp.identity(nn, format="csr"),
+                np.ones((b, 1)),
+                format="csr",
+            )
+            A2 = cur.copy()
+            A2.data = A2.data**2
+            nodeA = (E.T @ A2 @ E).tocsr()
+            nodeA.data = np.sqrt(nodeA.data)
+        else:
+            nodeA = cur
+        d = np.asarray(nodeA.diagonal())
         # strength: |a_ij| >= θ·sqrt(a_ii·a_jj), diagonal excluded
-        co = cur.tocoo()
+        co = nodeA.tocoo()
         scale = np.sqrt(np.abs(d[co.row] * d[co.col])) + 1e-300
         keep = (np.abs(co.data) >= theta * scale) & (co.row != co.col)
         S = sp.csr_matrix(
-            (co.data[keep], (co.row[keep], co.col[keep])), shape=cur.shape
+            (co.data[keep], (co.row[keep], co.col[keep])), shape=nodeA.shape
         )
-        agg, na = _aggregate(S, n)
-        if na == 0 or na >= n:  # no coarsening progress
+        agg, na = _aggregate(S, nn)
+        if na == 0 or na >= nn:  # no coarsening progress
             break
         sel = agg >= 0
-        T = sp.csr_matrix(
-            (np.ones(int(sel.sum())), (np.arange(n)[sel], agg[sel])),
-            shape=(n, na),
-        )
+        if b > 1:
+            # component-preserving tentative: dof (i, a) -> (agg[i], a)
+            dsel = np.repeat(sel, b)
+            drow = np.arange(n)[dsel]
+            dcol = np.repeat(agg[sel], b) * b + np.tile(
+                np.arange(b), int(sel.sum())
+            )
+            T = sp.csr_matrix(
+                (np.ones(len(drow)), (drow, dcol)), shape=(n, na * b)
+            )
+        else:
+            T = sp.csr_matrix(
+                (np.ones(int(sel.sum())), (np.arange(n)[sel], agg[sel])),
+                shape=(n, na),
+            )
         # prolongator smoothing P = (I − (4/3/ρ)·D⁻¹A)·T (standard SA
         # damping, ω = 4/3 / ρ(D⁻¹A) by host power iteration)
-        Dinv = sp.diags(1.0 / np.where(d == 0, 1.0, d))
+        dd = np.asarray(cur.diagonal())
+        Dinv = sp.diags(1.0 / np.where(dd == 0, 1.0, dd))
         DA = (Dinv @ cur).tocsr()
         rho = rho_est(DA)
         rhos.append(rho)

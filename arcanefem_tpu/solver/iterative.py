@@ -66,10 +66,7 @@ def make_precond(A: BellMatrix, name: str | None) -> Precond:
     if name == "amg":
         # the reference's BoomerAMG/Aleph-amg preconditioner option
         # (AlephDoFLinearSystem.cc:352, HypreDoFLinearSystem.cc:698-723);
-        # block systems fall back to block-Jacobi until block AMG lands
-        if A.block != 1:
-            inv = jnp.linalg.inv(A.diag_blocks())
-            return Precond(data=(inv,), kind="block-jacobi")
+        # block systems use node aggregation (solver/amg.py)
         from .amg import build_amg
 
         return build_amg(A)

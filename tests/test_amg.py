@@ -80,3 +80,44 @@ def test_amg_coarse_only_dense():
     assert len(M.mats) == 0
     x, k, _ = pcg(A, rhs, M, x0, 1e-10, 0.0, 50)
     assert int(k) <= 2, f"dense-preconditioned CG took {int(k)}"
+
+
+def test_amg_block_elasticity():
+    """Node-aggregation AMG on a vector (block=2) elasticity system."""
+    from arcanefem_tpu.mesh.generate import rect_tria_mesh
+    from arcanefem_tpu.models.elasticity import element_blocks, lame
+
+    mesh = rect_tria_mesh(40, 40)
+    prob = FemProblem(mesh, ndof=2, dtype=np.float64)
+    lam, mu2 = lame(3.0e5, 0.3)
+    A = prob.assemble_matrix(lambda ct, xyz: element_blocks(ct, xyz, lam, mu2))
+    pen = dtype_safe_penalty(1e30, np.float64)
+    left = mesh.group_nodes("left")
+    mask = np.zeros(prob.n_dofs, bool)
+    for comp in range(2):
+        mask[prob.dof_ids(left, comp)] = True
+    vals = A.flat_values().reshape(-1, 2, 2)
+    dslots = jnp.asarray(A.topo.diag_slot)
+    dm = jnp.asarray(mask.reshape(-1, 2))
+    db = vals[dslots]
+    db = jnp.where(dm[:, :, None] | dm[:, None, :], 0.0, db)
+    db = db.at[:, 0, 0].set(jnp.where(dm[:, 0], pen, db[:, 0, 0]))
+    db = db.at[:, 1, 1].set(jnp.where(dm[:, 1], pen, db[:, 1, 1]))
+    vals = vals.at[dslots].set(db)
+    A = A.with_values(vals.reshape(A.values.shape))
+    rhs = jnp.where(jnp.asarray(mask), 0.0, 1.0)
+    x0 = jnp.zeros(prob.n_dofs)
+
+    inv = jnp.linalg.inv(A.diag_blocks())
+    MB = Precond(data=(inv,), kind="block-jacobi")
+    xb, kb, _ = pcg(A, rhs, MB, x0, 1e-10, 0.0, 8000)
+
+    from arcanefem_tpu.solver.amg import build_amg
+
+    M = build_amg(A, use_pallas=False)
+    assert len(M.mats) >= 1
+    xa, ka, _ = pcg(A, rhs, M, x0, 1e-10, 0.0, 8000)
+    assert int(ka) < int(kb) / 2, f"AMG {int(ka)} vs block-jacobi {int(kb)}"
+    np.testing.assert_allclose(
+        np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-8
+    )
