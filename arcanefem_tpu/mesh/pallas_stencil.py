@@ -61,21 +61,59 @@ def _plane_kernel(box: StructuredBox, nzp: int, off: int = 0,
             rhs_ref[0] = rhs_ref[0] * (f * free) + pg_ref[0]
 
     def _body(win, out_ref, rhs_ref):
+        from jax.experimental.pallas import tpu as pltpu
+
         out_ref[...] = jnp.zeros_like(out_ref)
         if rhs_ref is not None:
             rhs_ref[...] = jnp.zeros_like(rhs_ref)
 
+        nyp, nzp_ = out_ref.shape[-2], out_ref.shape[-1]
+
+        def rolled(p, dj, dk):
+            # aligned shift: rolled(p, dj, dk)[y, z] = p[y+dj, z+dk].
+            # Wrapped rows/lanes only ever carry zeros (edge-padded coords
+            # make pad hexes degenerate), so no masking is needed.
+            if dj:
+                p = pltpu.roll(p, (-dj) % nyp, 0)
+            if dk:
+                p = pltpu.roll(p, (-dk) % nzp_, 1)
+            return p
+
+        def corner_shift(p, dj, dk):
+            # like rolled() but CLAMPED at the far edge: the wrapped last
+            # row/lane would pair real row-0 coords with pad coords and
+            # fabricate a non-degenerate hex whose contribution then wraps
+            # into real output rows — clamping reinstates the edge-pad
+            # duplicate there, keeping every pad hex degenerate
+            import jax.lax as lax
+
+            q = p
+            if dj:
+                q = pltpu.roll(q, (-dj) % nyp, 0)
+                iy = lax.broadcasted_iota(jnp.int32, (nyp, nzp_), 0)
+                q = jnp.where(iy >= nyp - dj, p, q)
+            if dk:
+                q2 = pltpu.roll(q, (-dk) % nzp_, 1)
+                iz = lax.broadcasted_iota(jnp.int32, (nyp, nzp_), 1)
+                q = jnp.where(iz >= nzp_ - dk, q, q2)
+            return q
+
         # corner plane extractor: hex plane h (0: below node plane i, 1: at)
         # win: three auto-pipelined coordinate-plane views (1, 3, y, z),
-        # z on lanes — Pallas double-buffers each view, so the window
-        # fetch overlaps compute (no manual DMA / scratch / semaphore)
+        # z on lanes.  Full ALIGNED planes + rolls — no strided sub-tile
+        # slices anywhere (those cost ~40x bandwidth in lane shuffles).
+        cache = {}
+
         def corner(h, c, comp):
             di, dj, dk = _HEX_CORNERS[c]
-            return win[h + di][0, comp, dj : dj + ny, dk : dk + nz]
+            key = (h + di, dj, dk, comp)
+            if key not in cache:
+                cache[key] = corner_shift(win[h + di][0, comp], dj, dk)
+            return cache[key]
 
         for h in (0, 1):
             for tet in _TETS:
-                # gather the 4 corners' coordinates as (ny, nz) planes
+                # the 4 corners' coordinates as full (nyp, nzp) planes
                 X = [corner(h, c, 0) for c in tet]
                 Y = [corner(h, c, 1) for c in tet]
                 Z = [corner(h, c, 2) for c in tet]
@@ -104,23 +142,24 @@ def _plane_kernel(box: StructuredBox, nzp: int, off: int = 0,
                 gy = comp(Z, X)
                 gz = comp(X, Y)
 
+                scale = vol * inv * inv
                 for a, ca in enumerate(tet):
                     dia, dja, dka = _HEX_CORNERS[ca]
                     if dia != 1 - h:
                         continue  # this corner's row is not on plane i
                     la = box._lin(_HEX_CORNERS[ca])
-                    ya, za = off + dja, off + dka
+                    ty, tz = off + dja, off + dka
                     for b, cb in enumerate(tet):
                         d = box._lin(_HEX_CORNERS[cb]) - la
-                        contrib = (vol * inv * inv) * (
+                        contrib = scale * (
                             gx[a] * gx[b] + gy[a] * gy[b] + gz[a] * gz[b]
                         )
                         di = d_index[d]
-                        cur = out_ref[di, ya : ya + ny, za : za + nz]
-                        out_ref[di, ya : ya + ny, za : za + nz] = cur + contrib
+                        # place hex (y,z) onto node row (y+ty, z+tz): roll
+                        # toward higher indices by (ty, tz), aligned add
+                        out_ref[di] = out_ref[di] + rolled(contrib, -ty, -tz)
                     if with_rhs:
-                        cur = rhs_ref[0, ya : ya + ny, za : za + nz]
-                        rhs_ref[0, ya : ya + ny, za : za + nz] = cur + vol * 0.25
+                        rhs_ref[0] = rhs_ref[0] + rolled(vol * 0.25, -ty, -tz)
 
     return body
 
