@@ -113,8 +113,10 @@ def main():
                 A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
                 Ap = to_plane_matrix(A, box)
                 rhs_p = Ap.pad_vec(rhs)
-            M = build_mg_padded(box, c3d, mask_np, penalty, nu=nu,
-                                fine=Ap, fused=fused)
+            M = build_mg_padded(
+                box, c3d, mask_np, penalty, nu=nu, fine=Ap, fused=fused,
+                cheb=os.environ.get("BENCH_SMOOTHER", "jacobi") == "cheb",
+            )
             xp, k, res = pcg(
                 Ap, rhs_p, M, x0_p, rtol, 0.0, 5000, use_precise_dot=True
             )

@@ -187,7 +187,21 @@ def _profile_padded(box, c3d, mask, gvals, penalty):
         xc = M._vcycle(1, rc) * M.maskmul_p[1]
         return v + 1e-9 * M._prolong(0, xc)
 
+    def cg_body(A, M, b, v):
+        # one full PCG body on padded vectors (no while_loop): everything
+        # the bench iteration does — spmv, 2 precise dots, 3 axpys, and
+        # the V-cycle apply — as straight-line code
+        Ap = A.spmv(v)
+        alpha = precise_dot(v, Ap) * 1e-9 + 1.0
+        x = v + alpha * Ap
+        r = b - alpha * Ap
+        z = M.apply(r)
+        beta = precise_dot(r, z) * 1e-9 + 1.0
+        return z + beta * x
+
     ops = [
+        ("cg body (no loop)", cg_body),
+        ("vcycle apply", lambda A, M, b, v: M.apply(v)),
         ("spmv_p", lambda A, M, b, v: A.spmv(v)),
         ("residual_p masked", lambda A, M, b, v:
             A.residual(b, v, M.maskmul_p[0])),
