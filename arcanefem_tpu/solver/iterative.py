@@ -110,6 +110,67 @@ def default_dot(a: Array, b: Array) -> Array:
     return jnp.vdot(a, b)
 
 
+@partial(jax.jit, static_argnames=("max_iter", "use_precise_dot", "chunk"))
+def pcg_chunked(
+    A: BellMatrix,
+    b: Array,
+    M: Precond,
+    x0: Array,
+    rtol: float,
+    atol: float,
+    max_iter: int,
+    use_precise_dot: bool = False,
+    chunk: int = 4,
+):
+    """PCG with the tolerance test every `chunk` iterations.
+
+    Amortizes while_loop trip overhead by running `chunk` body steps per
+    tolerance check, at the price of up to chunk−1 extra iterations past
+    convergence.  Measured at 11M DoF on v5e: −1.7 ms/iter but the wasted
+    tail iterations outweigh it at ~13-iteration solves (bench 0.268 →
+    0.293 s with chunk=4), so the plain `pcg` stays the default; chunking
+    pays off only for slow-converging systems (hundreds of iterations).
+    Same stopping rule as `pcg` (preconditioned-norm relative residual).
+    """
+    dot = precise_dot if use_precise_dot else default_dot
+
+    r0 = b - A.spmv(x0)
+    z0 = M.apply(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    tol2 = jnp.maximum(rtol * rtol * jnp.abs(rz0), atol * atol)
+
+    def cond(state):
+        _x, _r, _z, _p, rz, k = state
+        return (jnp.abs(rz) > tol2) & (k < max_iter)
+
+    def body1(state):
+        x, r, z, p, rz, k = state
+        Ap = A.spmv(p)
+        alpha = rz / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M.apply(r)
+        rz_new = dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    def body(state):
+        for _ in range(chunk):
+            state = body1(state)
+        return state
+
+    x, _r, _z, _p, rz, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.int32(0))
+    )
+    rel = jnp.sqrt(
+        jnp.abs(rz)
+        / jnp.maximum(jnp.abs(rz0), jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype))
+    )
+    return x, k, rel
+
+
 @partial(jax.jit, static_argnames=("max_iter", "use_precise_dot"))
 def pcg(
     A: BellMatrix,

@@ -46,7 +46,7 @@ def main():
         StructuredBox,
         apply_penalty_dirichlet,
     )
-    from arcanefem_tpu.solver.iterative import Precond, pcg
+    from arcanefem_tpu.solver.iterative import Precond, pcg, pcg_chunked
     from arcanefem_tpu.solver.multigrid import build_mg
 
     platform = jax.devices()[0].platform
@@ -117,9 +117,16 @@ def main():
                 box, c3d, mask_np, penalty, nu=nu, fine=Ap, fused=fused,
                 cheb=os.environ.get("BENCH_SMOOTHER", "jacobi") == "cheb",
             )
-            xp, k, res = pcg(
-                Ap, rhs_p, M, x0_p, rtol, 0.0, 5000, use_precise_dot=True
-            )
+            chunk = int(os.environ.get("BENCH_CHUNK", "1"))
+            if chunk > 1:
+                xp, k, res = pcg_chunked(
+                    Ap, rhs_p, M, x0_p, rtol, 0.0, 5000,
+                    use_precise_dot=True, chunk=chunk,
+                )
+            else:
+                xp, k, res = pcg(
+                    Ap, rhs_p, M, x0_p, rtol, 0.0, 5000, use_precise_dot=True
+                )
             return Ap.unpad_vec(xp), k, res
 
     else:
