@@ -219,7 +219,7 @@ def _run(cp, key, *bc_planes):
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(cp, cp, cp, *bc_planes)
 

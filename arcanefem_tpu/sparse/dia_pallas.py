@@ -100,7 +100,7 @@ def _spmv(bands_p, xpad, key):
         out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(bands_p, xpad)
 
@@ -153,7 +153,7 @@ def _sweep(bands_p, invd_p, xpad, bpad, key, mode, omega=0.0):
         out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(bands_p, invd_p, bpad, xpad)
 
@@ -319,7 +319,7 @@ def _spmv_p(bands_p, xp, key):
         out_specs=plane_spec,
         out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(bands_p, xp, xp, xp)
 
@@ -343,7 +343,7 @@ def _jacobi_p(bands_p, invd_p, bp, xp, key, omega):
         out_specs=plane_spec,
         out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(bands_p, invd_p, bp, xp, xp, xp)
 
@@ -368,7 +368,7 @@ def _residual_p(bands_p, maskmul_p, bp, xp, key):
         out_specs=plane_spec,
         out_shape=jax.ShapeDtypeStruct((nxp, nyp2, nzp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(bands_p, maskmul_p, bp, xp, xp, xp)
 

@@ -78,12 +78,13 @@ def main():
     precond = os.environ.get("BENCH_PRECOND", "mg")
     nu = int(os.environ.get("BENCH_NU", "1"))
 
-    # BENCH_FUSED=1 opts into the fully-fused assemble+RHS+BC kernel path;
-    # default is the non-fused hierarchy, which has proven stable against
-    # the flaky TPU-worker fault the fused composition still triggers
-    # inside the PCG while_loop (ROADMAP.md "TPU worker fault
-    # investigation"; tools/probe_crash.py pcg vs pcgold)
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    # Fully-fused assemble+RHS+BC kernel path (default).  The TPU-worker
+    # fault this composition used to trigger was the oversized
+    # vmem_limit_bytes=100MB on the plane kernels — at 48MB the fused
+    # bench is stable (5/5) and 2x faster than the non-fused hierarchy
+    # (0.134 s vs 0.268 s at 11.4M DoF).  BENCH_FUSED=0 keeps the
+    # non-fused fallback (ROADMAP.md "TPU worker fault investigation").
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
 
     if precond == "mg" and platform == "tpu":
         # geometric-multigrid-preconditioned CG: the BoomerAMG+PCG role
