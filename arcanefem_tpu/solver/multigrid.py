@@ -235,6 +235,7 @@ def build_mg_padded(
     fine=None,
     fused: bool = True,
     cheb: bool = False,
+    band_dtype=None,
 ) -> MGPrecondP:
     """build_mg twin producing the padded-layout hierarchy (TPU only).
 
@@ -247,6 +248,10 @@ def build_mg_padded(
     degree-nu Chebyshev product polynomial on [0.3ρ, 1.05ρ] (ρ = 2, the
     Gershgorin bound of D⁻¹A for zero-row-sum Laplacian stiffness)
     instead of fixed-ω Jacobi — same cost per sweep, better smoothing.
+    band_dtype=jnp.bfloat16 stores the HIERARCHY's bands at half width
+    (the preconditioner tolerates it; the caller's fine operator for the
+    CG SpMV stays f32) — halves the band traffic of every smoother and
+    residual pass.
     """
     from ..mesh.pallas_stencil import assemble_system_pallas
     from ..sparse.dia_pallas import pad_host_vec, to_plane_matrix
@@ -271,8 +276,12 @@ def build_mg_padded(
             Ap, _ = assemble_system_pallas(
                 b, c3, mask_p, jnp.zeros_like(mask_p), penalty
             )
-        mats.append(Ap)
+        # inverse diagonal from the FULL-precision bands (penalty rows get
+        # the exact 1/P action in apply()); only the band storage is cast
         inv_diags.append(Ap.inv_diagonal_p())
+        if band_dtype is not None:
+            Ap = Ap.astype_bands(band_dtype)
+        mats.append(Ap)
         maskmuls.append(1.0 - mask_p)  # pads get 1.0: harmless, they only
         masks.append(mask_p > 0.5)  # ever multiply exact zeros
         shapes.append((b.nx + 1, b.ny + 1, b.nz + 1))

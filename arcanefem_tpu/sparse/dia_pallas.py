@@ -297,7 +297,9 @@ def _acc_Ax_views(offs3, nyp2, nzp, bands_ref, xviews):
             shifted = pltpu.roll(shifted, (-dy) % nyp2, 0)
         if dz:
             shifted = pltpu.roll(shifted, (-dz) % nzp, 1)
-        acc = acc + bands_ref[0, k] * shifted
+        # bands may be bf16 (mixed-precision V-cycle): promote per band,
+        # accumulate in f32 — a no-op cast on the f32 path
+        acc = acc + bands_ref[0, k].astype(jnp.float32) * shifted
     return acc
 
 
@@ -416,7 +418,15 @@ class DiaPlaneMatrixP:
         return xp[:, 1 : ny + 2, 1 : nz + 2].reshape(-1).astype(dtype)
 
     def diagonal_p(self) -> jnp.ndarray:
-        return self.bands_p[:, self.offsets.index(0)]
+        return self.bands_p[:, self.offsets.index(0)].astype(jnp.float32)
+
+    def astype_bands(self, dtype) -> "DiaPlaneMatrixP":
+        """Band-dtype cast (e.g. bf16 for the mixed-precision V-cycle —
+        kernels promote per band and accumulate in f32)."""
+        return DiaPlaneMatrixP(
+            bands_p=self.bands_p.astype(dtype), nx=self.nx, ny=self.ny,
+            nz=self.nz, offs3=self.offs3, offsets=self.offsets,
+        )
 
     def inv_diagonal_p(self) -> jnp.ndarray:
         d = self.diagonal_p()

@@ -117,6 +117,11 @@ def main():
             M = build_mg_padded(
                 box, c3d, mask_np, penalty, nu=nu, fine=Ap, fused=fused,
                 cheb=os.environ.get("BENCH_SMOOTHER", "jacobi") == "cheb",
+                band_dtype=(
+                    jnp.bfloat16
+                    if os.environ.get("BENCH_MG_BF16", "1") == "1"
+                    else None
+                ),
             )
             chunk = int(os.environ.get("BENCH_CHUNK", "1"))
             if chunk > 1:
