@@ -71,29 +71,61 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
     The smoother handles them exactly instead (diag-dominant rows).
     """
     indptr, cols = S.indptr, S.indices
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(n), deg)
     agg = np.full(n, -1, np.int64)
+    isolated = deg == 0
     na = 0
-    # pass 1: roots whose (non-empty) strong neighbourhood is fully free
-    for i in range(n):
-        if agg[i] != -1:
-            continue
-        nb = cols[indptr[i] : indptr[i + 1]]
-        if len(nb) and (agg[nb] == -1).all():
-            agg[i] = na
-            agg[nb] = na
-            na += 1
-    # pass 2: attach leftovers to a strongly-connected aggregate; rows
-    # with no strong neighbour stay out of the coarse space
-    for i in range(n):
-        if agg[i] != -1:
-            continue
-        nb = cols[indptr[i] : indptr[i + 1]]
-        done = nb[agg[nb] != -1]
-        if len(done):
-            agg[i] = agg[done[0]]
-        elif len(nb):
-            agg[i] = na
-            na += 1
+    # pass 1, vectorised Luby-style rounds: a node roots an aggregate when
+    # it and its whole strong neighbourhood are free AND it has the
+    # smallest RANDOM priority in that free neighbourhood (an independent
+    # set, so parallel assignment is conflict-free).  Random priorities —
+    # index order is pathological on RCM/lexicographic meshes (only the
+    # frontier minimum roots per round, giving size-3 sliver aggregates).
+    pri = np.random.RandomState(0).permutation(n)
+    for _ in range(64):
+        free = agg < 0
+        cand = free & ~isolated
+        # neighbourhood entirely free?
+        nb_all_free = np.ones(n, bool)
+        np.logical_and.at(nb_all_free, rows, free[cols])
+        cand &= nb_all_free
+        # smallest priority among free candidate neighbours
+        nbr_min = np.full(n, n, np.int64)
+        sel = cand[rows] & cand[cols]
+        np.minimum.at(nbr_min, rows[sel], pri[cols[sel]])
+        roots = cand & (pri <= nbr_min)
+        nr = int(roots.sum())
+        if nr == 0:
+            break
+        ids = np.full(n, -1, np.int64)
+        ids[roots] = na + np.arange(nr)
+        agg[roots] = ids[roots]
+        # members join their root (a member adjacent to several roots
+        # takes the max id — any is fine)
+        take = roots[rows] & (agg[cols] < 0)
+        np.maximum.at(agg, cols[take], ids[rows[take]])
+        na += nr
+    # pass 2, vectorised: leftovers take an aggregated strong neighbour's
+    # id (max over neighbours); a few rounds catch chains.  Rows with no
+    # strong neighbour stay out of the coarse space (penalty/Dirichlet).
+    for _ in range(8):
+        free = agg < 0
+        if not free.any():
+            break
+        best = np.full(n, -1, np.int64)
+        sel = free[rows] & (agg[cols] >= 0)
+        np.maximum.at(best, rows[sel], agg[cols][sel])
+        upd = free & (best >= 0)
+        if not upd.any():
+            break
+        agg[upd] = best[upd]
+    # anything still free but connected becomes singleton aggregates
+    left = (agg < 0) & ~isolated
+    nl = int(left.sum())
+    if nl:
+        agg[left] = na + np.arange(nl)
+        na += nl
     return agg, na
 
 
@@ -279,7 +311,7 @@ def build_amg(
         v[t.csr_to_ell] = M.data.astype(dtype)
         bm = BellMatrix(
             values=jnp.asarray(v.reshape(t.n_nodes, t.width, 1, 1)),
-            topo=t, block=1,
+            topo=t, block=1, cols=jnp.asarray(t.ell_cols),
         )
         if use_pallas:
             from ..sparse.pallas_spmv import as_pallas_matrix

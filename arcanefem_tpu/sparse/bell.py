@@ -28,7 +28,7 @@ from .topology import Topology
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["values"],
+    data_fields=["values", "cols"],
     meta_fields=["topo", "block"],
 )
 @dataclass
@@ -38,6 +38,11 @@ class BellMatrix:
     values: jnp.ndarray
     topo: Topology
     block: int
+    # ELL columns as a DEVICE buffer (optional).  Without it, spmv wraps
+    # topo.ell_cols, which jit embeds as an HLO literal — fine for small
+    # meshes but bloats compiles (and overflows the axon remote-compile
+    # request) at ~1M+ nodes.  assemble_bell sets it.
+    cols: jnp.ndarray | None = None
 
     @property
     def n_nodes(self) -> int:
@@ -53,7 +58,8 @@ class BellMatrix:
         return self.values.reshape(N * W, b, b)
 
     def with_values(self, values: jnp.ndarray) -> "BellMatrix":
-        return BellMatrix(values=values.reshape(self.values.shape), topo=self.topo, block=self.block)
+        return BellMatrix(values=values.reshape(self.values.shape),
+                          topo=self.topo, block=self.block, cols=self.cols)
 
     # -- linear algebra ----------------------------------------------------
 
@@ -61,7 +67,7 @@ class BellMatrix:
         """y = A @ x with x of shape (n_dofs,)."""
         b = self.block
         xn = x.reshape(self.n_nodes, b)
-        cols = jnp.asarray(self.topo.ell_cols)
+        cols = self.cols if self.cols is not None else jnp.asarray(self.topo.ell_cols)
         gathered = xn[cols]  # (N, W, b)
         y = jnp.einsum(
             "nwab,nwb->na", self.values, gathered,
@@ -128,4 +134,5 @@ def assemble_bell(
     if dtype is not None:
         acc = acc.astype(dtype)
     values = acc.reshape(topo.n_nodes, topo.width, block, block)
-    return BellMatrix(values=values, topo=topo, block=block)
+    return BellMatrix(values=values, topo=topo, block=block,
+                      cols=jnp.asarray(topo.ell_cols))

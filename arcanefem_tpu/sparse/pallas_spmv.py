@@ -223,16 +223,18 @@ def as_pallas_matrix(A):
     sp = _cached_spmv(A.topo)
     if not sp.available:
         return A
-    return PallasBellMatrix(values=A.values, topo=A.topo, block=A.block)
+    return PallasBellMatrix(values=A.values, topo=A.topo, block=A.block,
+                            cols=A.cols)
 
 
 class PallasBellMatrix:
     """BellMatrix drop-in whose spmv runs the window kernel."""
 
-    def __init__(self, values, topo, block=1):
+    def __init__(self, values, topo, block=1, cols=None):
         from .bell import BellMatrix
 
-        self._bell = BellMatrix(values=values, topo=topo, block=block)
+        self._bell = BellMatrix(values=values, topo=topo, block=block,
+                                cols=cols)
 
     # delegate everything except spmv
     def __getattr__(self, name):
@@ -261,15 +263,17 @@ class PallasBellMatrix:
         return PallasBellMatrix(
             values=values.reshape(self._bell.values.shape),
             topo=self._bell.topo, block=self._bell.block,
+            cols=self._bell.cols,
         )
 
 
 def _pallas_matrix_flatten(m):
-    return (m._bell.values,), (m._bell.topo, m._bell.block)
+    return (m._bell.values, m._bell.cols), (m._bell.topo, m._bell.block)
 
 
 def _pallas_matrix_unflatten(meta, data):
-    return PallasBellMatrix(values=data[0], topo=meta[0], block=meta[1])
+    return PallasBellMatrix(values=data[0], topo=meta[0], block=meta[1],
+                            cols=data[1])
 
 
 jax.tree_util.register_pytree_node(
