@@ -131,7 +131,8 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["mats", "inv_diags", "pcols", "pvals", "coarse_inv"],
+    data_fields=["mats", "inv_diags", "pcols", "pvals", "ptcols", "ptvals",
+                 "coarse_inv"],
     meta_fields=["nu", "omegas"],
 )
 @dataclass
@@ -142,6 +143,11 @@ class AMGPrecond:
     inv_diags: tuple  # (N_l,) per level
     pcols: tuple  # (N_l, Wp) int32 row-ELL columns of the prolongator
     pvals: tuple  # (N_l, Wp) row-ELL values (0.0 on padding)
+    # restriction as a GATHER: row-ELL of P^T (per coarse dof, its incoming
+    # fine dofs).  jax.ops.segment_sum lowers to scatter on TPU and costs
+    # ~500 ms at 1M dofs; the gather form is bandwidth-bound.
+    ptcols: tuple  # (Nc_l, Wt) int32
+    ptvals: tuple  # (Nc_l, Wt)
     coarse_inv: jnp.ndarray  # dense inverse of the coarsest operator
     nu: int = 1
     # per-level damping c/ρ(D⁻¹A_l): SA Galerkin operators get stiffer with
@@ -161,14 +167,8 @@ class AMGPrecond:
         x = self._smooth0(l, b, self.nu)
         r = b - self.mats[l].spmv(x)
         pc, pv = self.pcols[l], self.pvals[l]
-        nc = (
-            self.coarse_inv.shape[0]
-            if l + 1 == len(self.mats)
-            else self.mats[l + 1].n_nodes
-        )
-        rc = jax.ops.segment_sum(
-            (pv * r[:, None]).reshape(-1), pc.reshape(-1), num_segments=nc
-        )
+        tc, tv = self.ptcols[l], self.ptvals[l]
+        rc = jnp.einsum("nw,nw->n", tv, r[tc])
         xc = self._vcycle(l + 1, rc)
         x = x + jnp.einsum("nw,nw->n", pv, xc[pc])
         om = jnp.asarray(self.omegas[l], b.dtype)
@@ -303,7 +303,7 @@ def build_amg(
         Ps.append(P)
         cur = nxt
 
-    def to_bell(M) -> BellMatrix:
+    def to_bell(M, pallas: bool) -> BellMatrix:
         M = M.tocsr()
         M.sum_duplicates()
         t = _ell_from_csr(M.indptr, M.indices)
@@ -313,15 +313,18 @@ def build_amg(
             values=jnp.asarray(v.reshape(t.n_nodes, t.width, 1, 1)),
             topo=t, block=1, cols=jnp.asarray(t.ell_cols),
         )
-        if use_pallas:
+        if pallas:
             from ..sparse.pallas_spmv import as_pallas_matrix
 
             bm = as_pallas_matrix(bm)
         return bm
 
     bell_mats = []
-    for M in mats:
-        bm = to_bell(M)
+    for li, M in enumerate(mats):
+        # Pallas window SpMV for the FINE level only: coarse-level gather
+        # tables fit VMEM where XLA's gather is already fast, and one
+        # pallas kernel per program keeps remote compiles lean
+        bm = to_bell(M, use_pallas and li == 0)
         d = bm.diagonal()
         inv_diags.append(
             jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
@@ -339,11 +342,16 @@ def build_amg(
         pv[rows, slot] = P.data.astype(dtype)
         return jnp.asarray(pc), jnp.asarray(pv)
 
-    pcols, pvals = [], []
+    pcols, pvals, ptcols, ptvals = [], [], [], []
     for P in Ps:
         pc, pv = p_ell(P)
         pcols.append(pc)
         pvals.append(pv)
+        PT = P.T.tocsr()
+        PT.sum_duplicates()
+        tc, tv = p_ell(PT)
+        ptcols.append(tc)
+        ptvals.append(tv)
 
     coarse_inv = jnp.asarray(
         np.linalg.inv(cur.toarray()).astype(dtype)
@@ -353,6 +361,8 @@ def build_amg(
         inv_diags=tuple(inv_diags),
         pcols=tuple(pcols),
         pvals=tuple(pvals),
+        ptcols=tuple(ptcols),
+        ptvals=tuple(ptvals),
         coarse_inv=coarse_inv,
         nu=nu,
         omegas=tuple(omega / r for r in rhos),

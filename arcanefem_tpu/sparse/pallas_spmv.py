@@ -228,13 +228,23 @@ def as_pallas_matrix(A):
 
 
 class PallasBellMatrix:
-    """BellMatrix drop-in whose spmv runs the window kernel."""
+    """BellMatrix drop-in whose spmv runs the window kernel.
 
-    def __init__(self, values, topo, block=1, cols=None):
+    The window plan's index arrays ride in the pytree (``plan_arrays``) so
+    jit traces see them as runtime buffers, not embedded literals.
+    """
+
+    def __init__(self, values, topo, block=1, cols=None, plan_arrays=None):
         from .bell import BellMatrix
 
         self._bell = BellMatrix(values=values, topo=topo, block=block,
                                 cols=cols)
+        if plan_arrays is None:
+            sp = _cached_spmv(topo)
+            plan_arrays = (
+                sp.device_arrays() if hasattr(sp, "device_arrays") else None
+            )
+        self._plan_arrays = plan_arrays
 
     # delegate everything except spmv
     def __getattr__(self, name):
@@ -242,9 +252,11 @@ class PallasBellMatrix:
 
     def spmv(self, x):
         sp = _cached_spmv(self._bell.topo)
+        # the opt-in diag kernel has no carriable plan arrays
+        extra = (self._plan_arrays,) if hasattr(sp, "device_arrays") else ()
         b = self._bell.block
         if b == 1:
-            return sp(self._bell.values, x)
+            return sp(self._bell.values, x, *extra)
         # block SpMV as b² scalar window gathers over the shared plan:
         # y[:, a] = sum_c gather(values[..., a, c], cols) · x[:, c]
         n = self._bell.topo.n_nodes
@@ -254,7 +266,7 @@ class PallasBellMatrix:
         for a in range(b):
             acc = None
             for c in range(b):
-                t = sp(cols_vals[:, :, a, c], xn[:, c])
+                t = sp(cols_vals[:, :, a, c], xn[:, c], *extra)
                 acc = t if acc is None else acc + t
             ys.append(acc)
         return jnp.stack(ys, axis=1).reshape(-1).astype(x.dtype)
@@ -263,17 +275,20 @@ class PallasBellMatrix:
         return PallasBellMatrix(
             values=values.reshape(self._bell.values.shape),
             topo=self._bell.topo, block=self._bell.block,
-            cols=self._bell.cols,
+            cols=self._bell.cols, plan_arrays=self._plan_arrays,
         )
 
 
 def _pallas_matrix_flatten(m):
-    return (m._bell.values, m._bell.cols), (m._bell.topo, m._bell.block)
+    return (
+        (m._bell.values, m._bell.cols, m._plan_arrays),
+        (m._bell.topo, m._bell.block),
+    )
 
 
 def _pallas_matrix_unflatten(meta, data):
     return PallasBellMatrix(values=data[0], topo=meta[0], block=meta[1],
-                            cols=data[1])
+                            cols=data[1], plan_arrays=data[2])
 
 
 jax.tree_util.register_pytree_node(
@@ -301,9 +316,19 @@ class PallasBellSpmv:
     def available(self) -> bool:
         return self.plan is not None
 
-    def __call__(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    def device_arrays(self) -> tuple:
+        """(lcols, lo) as device buffers — pytree-carriable by the matrix
+        (closure capture would embed them as HLO literals, which bloats
+        compiles and overflows remote-compile at ~1M+ nodes)."""
+        return (self._lcols, self._lo)
+
+    def __call__(self, values: jnp.ndarray, x: jnp.ndarray,
+                 plan_arrays: tuple | None = None) -> jnp.ndarray:
         p = self.plan
         assert p is not None, "matrix bandwidth too wide for the window kernel"
+        lcols, lo = plan_arrays if plan_arrays is not None else (
+            self._lcols, self._lo
+        )
         n, W = self.topo.n_nodes, self.topo.width
         R, nb = p.block_rows, p.n_blocks
         G = R * W // LANE
@@ -316,6 +341,6 @@ class PallasBellSpmv:
         need = (int(p.lo.max()) * LANE + p.window) if p.n_blocks else p.window
         n_x = -(-max(n, need) // LANE) * LANE
         xp = jnp.pad(xp, (0, n_x - n)).reshape(n_x // LANE, LANE)
-        prods = _products(vals_tiled, self._lcols, self._lo, xp, self._key)
+        prods = _products(vals_tiled, lcols, lo, xp, self._key)
         y = prods.reshape(nb * R, W).sum(axis=1)
         return y[:n].astype(x.dtype)

@@ -152,7 +152,8 @@ def _profile_padded(box, c3d, mask, gvals, penalty):
         rhs = box.source_rhs(c3d, 1.0)
         A, rhs = apply_penalty_dirichlet(A, rhs, mask, gvals, penalty)
         Ap = to_plane_matrix(A, box)
-        M = build_mg_padded(box, c3d, np.asarray(mask), penalty, nu=nu)
+        M = build_mg_padded(box, c3d, np.asarray(mask), penalty, nu=nu,
+                            fused=False)
         return Ap, Ap.pad_vec(rhs), M
 
     def make_probe(op):
