@@ -204,8 +204,8 @@ def parse_solver(fem: ET.Element) -> SolverOptions:
         opts.method = "cg"
         # the Hypre backend always preconditions PCG with one BoomerAMG
         # V-cycle (HypreDoFLinearSystem.cc:686-742) — map it onto the
-        # aggregation AMG (solver/amg.py; block systems fall back to
-        # block-Jacobi inside make_precond)
+        # aggregation AMG (solver/amg.py; block systems use node-aggregation
+        # AMG with block Frobenius strength inside build_amg)
         opts.preconditioner = "amg"
         rtol = opt_float(ls, "rtol")
         if rtol is not None:

@@ -53,6 +53,22 @@ class FrozenBC:
         return jnp.where(mask, self.dirichlet_values, x)
 
 
+def anchor_atol(A: BellMatrix, M, rhs, x0, rtol: float) -> float:
+    """Absolute preconditioned-norm tolerance anchored at a step's initial
+    residual: ``rtol * ||b - A x0||_C``.
+
+    Transient loops warm-start every step, so the relative criterion
+    (tol² = rtol²·rz0) degenerates when a late-time step is already
+    converged: rz0 ≈ rounding noise, tol ≈ 0, and the solver burns its full
+    iteration budget.  Threading this anchor (computed at the FIRST step)
+    into later steps' ``SolverOptions.atol`` gives every step the same
+    *absolute* accuracy as step one and lets converged steps exit at once.
+    """
+    r0 = rhs - A.spmv(x0)
+    z0 = M.apply(r0)
+    return float(rtol) * float(jnp.sqrt(jnp.abs(jnp.vdot(r0, z0))))
+
+
 def freeze_bcs(system: LinearSystem) -> FrozenBC:
     """Finalize a system whose rhs currently holds only BC-written values
     (penalty P·g rows); capture masks for per-step application."""

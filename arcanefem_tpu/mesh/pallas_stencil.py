@@ -274,7 +274,9 @@ def assemble_system_pallas(
 
     mask_p: padded (nx+1, nyp2, nzp) f32 plane, 1.0 on Dirichlet rows;
     pg_p: padded penalty·g·mask plane.  When mask_p is None only
-    (matrix, Σvol/4) quadrature is produced (rhs = f·volq, no BC).
+    (matrix, Σvol/4) quadrature is produced — the raw per-node volume
+    quadrature WITHOUT the f source factor or any BC (callers multiply
+    by f themselves; path currently unused by the bench/model pipelines).
 
     Returns (mat, rhs_p): mat is a sparse.dia_pallas.DiaPlaneMatrixP
     (bands straight in the x-major plane layout), rhs_p the padded RHS

@@ -17,7 +17,7 @@ function.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import jax
 import jax.numpy as jnp
@@ -186,7 +186,7 @@ def solve(mesh: Mesh, cfg: ElastodynamicsConfig, dtype=np.float64,
             dir_mask[dofs] = True
             dir_gval[dofs] = v
 
-    from ..fem.transient import freeze_bcs
+    from ..fem.transient import anchor_atol, freeze_bcs
 
     fbc = freeze_bcs(system)
     A_bc = fbc.A
@@ -240,7 +240,16 @@ def solve(mesh: Mesh, cfg: ElastodynamicsConfig, dtype=np.float64,
                     rhs_t, tr.surface, tuple(float(x) for x in vec[:ndof])
                 )
             rhs = step_rhs(U, V, Acc, rhs_t)
-            dU, info = solve_finalized(A_bc, rhs, cfg.solver, x0=fbc.warm_start(U), precond=M_pre)
+            x0 = fbc.warm_start(U)
+            if steps == 0:
+                # anchor later steps' absolute tolerance at step one's
+                # initial residual (fem/transient.py::anchor_atol)
+                opts = replace(
+                    cfg.solver,
+                    atol=max(cfg.solver.atol,
+                             anchor_atol(A_bc, M_pre, rhs, x0, cfg.solver.rtol)),
+                )
+            dU, info = solve_finalized(A_bc, rhs, opts, x0=x0, precond=M_pre)
             U, V, Acc = newmark_update(dU, U, V, Acc)
             t += dt
             steps += 1

@@ -13,7 +13,7 @@ rebuilds the RHS and re-runs the jit-cached PCG.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import jax.numpy as jnp
 import numpy as np
@@ -81,7 +81,7 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
             )
 
     # freeze BCs into the matrix once (fem/transient.py)
-    from ..fem.transient import freeze_bcs
+    from ..fem.transient import anchor_atol, freeze_bcs
 
     system = prob.new_system(A, config.solver)
     for bc in config.bcs.dirichlet:
@@ -120,7 +120,16 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
     with timer.phase("time-loop"):
         while t < config.tmax:
             rhs = fbc.apply(rhs_const + lumped * T / dt)
-            T, info = solve_finalized(A_bc, rhs, config.solver, x0=fbc.warm_start(T), precond=M)
+            x0 = fbc.warm_start(T)
+            if steps == 0:
+                # anchor later steps' absolute tolerance at step one's
+                # initial residual (fem/transient.py::anchor_atol)
+                opts = replace(
+                    config.solver,
+                    atol=max(config.solver.atol,
+                             anchor_atol(A_bc, M, rhs, x0, config.solver.rtol)),
+                )
+            T, info = solve_finalized(A_bc, rhs, opts, x0=x0, precond=M)
             t += dt
             steps += 1
             if keep_history:

@@ -22,7 +22,7 @@ sparsity and coefficients are time-independent) and each step is RHS-only.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ import numpy as np
 from ..fem.bcs import BoundaryConditions, dtype_safe_penalty
 from ..fem.problem import FemProblem
 from ..fem.timer import PhaseTimer
-from ..fem.transient import freeze_bcs
+from ..fem.transient import anchor_atol, freeze_bcs
 from ..fem.validation import check_node_results
 from ..mesh.core import Mesh
 from ..ops import quadrature as Q
@@ -167,7 +167,16 @@ def solve(mesh: Mesh, cfg: PassmoConfig, dtype=np.float64,
     with timer.phase("time-loop"):
         while t <= cfg.tmax + 1e-12 * dt:
             rhs, u_pred, v_pred = step(U, V, Acc)
-            dU, info = solve_finalized(fbc.A, rhs, cfg.solver, x0=fbc.warm_start(U), precond=M_pre)
+            x0 = fbc.warm_start(U)
+            if steps == 0:
+                # anchor later steps' absolute tolerance at step one's
+                # initial residual (fem/transient.py::anchor_atol)
+                opts = replace(
+                    cfg.solver,
+                    atol=max(cfg.solver.atol,
+                             anchor_atol(fbc.A, M_pre, rhs, x0, cfg.solver.rtol)),
+                )
+            dU, info = solve_finalized(fbc.A, rhs, opts, x0=x0, precond=M_pre)
             U, V, Acc = update(dU, u_pred, v_pred)
             t += dt
             steps += 1

@@ -17,7 +17,7 @@ Matrices are assembled and BC-frozen once; each step rebuilds only the RHS.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ from ..fem.bcs import BoundaryConditions, dtype_safe_penalty
 from ..fem.casetable import CaseTable, read_case_table
 from ..fem.problem import FemProblem
 from ..fem.timer import PhaseTimer
-from ..fem.transient import freeze_bcs
+from ..fem.transient import anchor_atol, freeze_bcs
 from ..fem.validation import check_node_results
 from ..mesh.core import Mesh
 from ..ops import elements, geometry
@@ -236,7 +236,16 @@ def solve(mesh: Mesh, cfg: SoildynamicsConfig, dtype=np.float64,
                 )
             dcf = float(dc.table.value(t)[0]) if dc is not None else 0.0
             rhs = step_rhs(U, V, Acc, rhs_t, dcf)
-            dU, info = solve_finalized(fbc.A, rhs, cfg.solver, x0=fbc.warm_start(U), precond=M_pre)
+            x0 = fbc.warm_start(U)
+            if steps == 0:
+                # anchor later steps' absolute tolerance at step one's
+                # initial residual (fem/transient.py::anchor_atol)
+                opts = replace(
+                    cfg.solver,
+                    atol=max(cfg.solver.atol,
+                             anchor_atol(fbc.A, M_pre, rhs, x0, cfg.solver.rtol)),
+                )
+            dU, info = solve_finalized(fbc.A, rhs, opts, x0=x0, precond=M_pre)
             U, V, Acc = newmark_update(dU, U, V, Acc)
             t += dt
             steps += 1

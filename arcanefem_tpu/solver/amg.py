@@ -353,6 +353,15 @@ def build_amg(
         ptcols.append(tc)
         ptvals.append(tv)
 
+    if cur.shape[0] > 8 * coarse_size * b:
+        # aggregation stalled (or max_levels hit early) far above the target
+        # coarse size — a dense inverse here would be O(n^3); fail loudly
+        # instead of silently degrading setup
+        raise RuntimeError(
+            f"AMG coarsening stalled at {cur.shape[0]} dofs "
+            f"(target coarse size {coarse_size * b}, {len(mats)} levels); "
+            "loosen theta or raise max_levels/coarse_size"
+        )
     coarse_inv = jnp.asarray(
         np.linalg.inv(cur.toarray()).astype(dtype)
     )

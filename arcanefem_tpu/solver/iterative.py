@@ -53,7 +53,9 @@ class Precond:
         raise ValueError(f"unknown preconditioner kind '{self.kind}'")
 
 
-def make_precond(A: BellMatrix, name: str | None) -> Precond:
+def make_precond(A: BellMatrix, name: str | None) -> "Precond | AMGPrecond":
+    """Build a preconditioner; the 'amg' branch returns an AMGPrecond
+    (solver/amg.py) — both expose the same ``.apply(r)`` contract."""
     if name in (None, "none"):
         return Precond(data=(), kind="none")
     if name == "jacobi":
@@ -229,7 +231,7 @@ def pcg(
     return x, k, rel
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "use_precise_dot"))
 def bicgstab(
     A: BellMatrix,
     b: Array,
@@ -238,14 +240,18 @@ def bicgstab(
     rtol: float,
     atol: float,
     max_iter: int,
+    use_precise_dot: bool = False,
 ):
     """Preconditioned BiCGStab (the Aleph method_bicgstab role,
     AlephDoFLinearSystem.cc solver-method option) for nonsymmetric systems.
 
     Convergence is measured on the left-preconditioned residual ||M r||_2
     (the PETSc default), for the same penalty-row-scaling reason as pcg.
+    With ``use_precise_dot`` every recurrence dot runs the compensated
+    dot2, which is what lets f32 nonsymmetric solves on TPU reach the
+    same tight residuals as PCG.
     """
-    dot = default_dot
+    dot = precise_dot if use_precise_dot else default_dot
 
     def pnorm2(r):
         mr = M.apply(r)

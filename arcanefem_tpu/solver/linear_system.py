@@ -60,12 +60,18 @@ class BCOp:
 
 
 def _dof_masks(n_dofs: int, ops: list[BCOp], kinds: tuple[str, ...]):
+    # result dtype promotes only over the ops actually being masked, so a
+    # f32 forced op cannot promote row-elimination masks of a f64 system
+    sel = [o for o in ops if o.kind in kinds]
     mask = jnp.zeros(n_dofs, bool)
-    val = jnp.zeros(n_dofs, jnp.result_type(*[o.values.dtype for o in ops])) if ops else jnp.zeros(n_dofs)
-    for op in ops:
-        if op.kind in kinds:
-            mask = mask.at[op.dofs].set(True)
-            val = val.at[op.dofs].set(op.values.astype(val.dtype))
+    val = (
+        jnp.zeros(n_dofs, jnp.result_type(*[o.values.dtype for o in sel]))
+        if sel
+        else jnp.zeros(n_dofs)
+    )
+    for op in sel:
+        mask = mask.at[op.dofs].set(True)
+        val = val.at[op.dofs].set(op.values.astype(val.dtype))
     return mask, val
 
 
@@ -234,7 +240,8 @@ def solve_finalized(
         )
     elif options.method == "bicgstab":
         x, iters, res = bicgstab(
-            A, b, M, x0, options.rtol, options.atol, options.max_iter
+            A, b, M, x0, options.rtol, options.atol, options.max_iter,
+            use_precise_dot=use_precise,
         )
     else:
         raise ValueError(f"unknown solver method '{options.method}'")

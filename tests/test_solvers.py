@@ -91,3 +91,42 @@ def test_block_jacobi_precond():
     Af, bf = sys.finalized()
     xd = jnp.linalg.solve(Af.todense(), bf)
     np.testing.assert_allclose(np.asarray(x), np.asarray(xd), rtol=1e-7, atol=1e-12)
+
+
+def test_anchor_atol_caps_converged_warm_start():
+    """A warm start at the converged solution must exit immediately when the
+    absolute tolerance is anchored at the cold-start residual scale
+    (fem/transient.py::anchor_atol — the transient-loop tol2~0 edge)."""
+    from arcanefem_tpu.fem.transient import anchor_atol
+
+    prob, sys = _poisson_system(method="RowElimination")
+    A, b = sys.finalized()
+    M = make_precond(A, "jacobi")
+    x0 = sys.initial_guess()
+    atol = anchor_atol(A, M, b, x0, 1e-10)
+    x, k, _ = pcg(A, b, M, x0, 1e-10, atol, 500)
+    # re-solve warm-started at the solution: without the anchor this burns
+    # max_iter, with it the loop exits on the first tolerance check
+    x2, k2, _ = pcg(A, b, M, x, 1e-10, atol, 500)
+    assert int(k2) <= 1, f"warm-started converged solve ran {int(k2)} iters"
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-8)
+
+
+def test_bicgstab_f32_precise_dot_reaches_tight_residual():
+    """f32 BiCGStab with compensated (dot2) reductions must reach the same
+    1e-6 relative residual PCG can (VERDICT weak #4: nonsymmetric f32 on
+    TPU needs compensated dots)."""
+    prob, sys = _poisson_system(method="RowElimination", penalty=1e6)
+    A, b = sys.finalized()
+    A32 = A.with_values(A.values.astype(jnp.float32))
+    b32 = b.astype(jnp.float32)
+    M = make_precond(A32, "jacobi")
+    x0 = sys.initial_guess().astype(jnp.float32)
+    x, k, rel = bicgstab(
+        A32, b32, M, x0, 1e-6, 0.0, 800, use_precise_dot=True
+    )
+    assert float(rel) < 1e-6
+    xd = jnp.linalg.solve(A.todense(), b)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(xd), rtol=5e-4, atol=5e-4
+    )
