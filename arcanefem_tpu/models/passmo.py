@@ -195,7 +195,8 @@ def solve(mesh: Mesh, cfg: PassmoConfig, dtype=np.float64,
     return res
 
 
-def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
+def config_from_case(case, check: bool = True) -> "PassmoConfig":
+    """PassmoConfig from a parsed .arc case (Elastodynamic.axl surface)."""
     from ..fem.arc import opt_float, opt_text
     from ..fem.bcs import DirichletBC
 
@@ -233,6 +234,11 @@ def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
         solver=case.solver,
         result_file=case.result_file if check else None,
     )
+    return cfg
+
+
+def _run_arc(case, mesh, dtype=np.float64, check: bool = True, timer=None):
+    cfg = config_from_case(case, check=check)
     return solve(mesh, cfg, dtype=dtype, timer=timer)
 
 
