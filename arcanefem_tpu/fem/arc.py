@@ -231,9 +231,11 @@ def parse_solver(fem: ET.Element) -> SolverOptions:
             "diagonal": "jacobi", "amg": "amg", "none": "none",
         }.get(pc, "jacobi")
     method = opt_text(ls, "solver-method")
-    if method in ("bicgstab", "bicgstab2", "gmres"):
-        # nonsymmetric Krylov requests (AlephDoFLinearSystemFactory.axl
-        # solver-method) map onto the on-device BiCGStab backend
+    if method == "gmres":
+        # (AlephDoFLinearSystemFactory.axl solver-method) on-device GMRES(m)
+        opts.method = "gmres"
+    elif method in ("bicgstab", "bicgstab2"):
+        # bicgstab2 = BiCGStab(2), mapped onto the on-device BiCGStab
         opts.method = "bicgstab"
     return opts
 

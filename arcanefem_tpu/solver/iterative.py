@@ -231,6 +231,136 @@ def pcg(
     return x, k, rel
 
 
+@partial(
+    jax.jit, static_argnames=("max_iter", "restart", "use_precise_dot")
+)
+def gmres(
+    A: BellMatrix,
+    b: Array,
+    M: Precond,
+    x0: Array,
+    rtol: float,
+    atol: float,
+    max_iter: int,
+    restart: int = 30,
+    use_precise_dot: bool = False,
+):
+    """Restarted GMRES(m), right-preconditioned (the Aleph method_gmres
+    role, AlephDoFLinearSystemFactory.axl:34-43).
+
+    TPU-first design: the Krylov basis V is a static (m+1, n) matrix;
+    orthogonalization is classical Gram-Schmidt applied twice (CGS2) so the
+    projections are two (m+1,n)x(n,) matvecs that ride the MXU instead of
+    j sequential modified-GS dots; the Hessenberg least-squares problem is
+    updated with Givens rotations so the residual norm is available every
+    inner step without forming residuals.  Right preconditioning keeps the
+    monitored norm the TRUE residual norm ||b - A x||; convergence is
+    relative to the warm-started initial residual (same contract as pcg).
+
+    With ``use_precise_dot`` projections and norms use the compensated dot2
+    (vmapped over basis rows), which lets f32 runs reach ~1e-8 relative
+    residuals on TPU.  Returns (x, total_inner_iterations, rel_residual).
+    """
+    m = restart
+    n = b.shape[0]
+    dtype = b.dtype
+    dot = precise_dot if use_precise_dot else default_dot
+    proj = jax.vmap(dot, in_axes=(0, None)) if use_precise_dot else None
+
+    def basis_dots(V, w):
+        # (m+1,) projections of w on every basis row (rows past j are junk
+        # but masked by the caller)
+        if proj is not None:
+            return proj(V, w)
+        return V @ w
+
+    def norm(v):
+        return jnp.sqrt(jnp.abs(dot(v, v)))
+
+    r0 = b - A.spmv(x0)
+    beta0 = norm(r0)
+    tol = jnp.maximum(rtol * beta0, atol)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def inner_cond(st):
+        _V, _H, _cs, _sn, _g, j, res = st
+        return (j < m) & (res > tol)
+
+    def inner_body(st):
+        V, H, cs, sn, g, j, _res = st
+        vj = V[j]
+        w = A.spmv(M.apply(vj))
+        rows = jnp.arange(m + 1)
+        mask = (rows <= j).astype(dtype)
+        # CGS2: two rounds of classical Gram-Schmidt
+        h = basis_dots(V, w) * mask
+        w = w - V.T @ h
+        h2 = basis_dots(V, w) * mask
+        w = w - V.T @ h2
+        h = h + h2
+        hnext = norm(w)
+        V = V.at[j + 1].set(w / jnp.maximum(hnext, tiny))
+        h = h.at[j + 1].set(hnext)
+
+        # apply the accumulated Givens rotations to the new column
+        def rot(i, hcol):
+            hi, hip = hcol[i], hcol[i + 1]
+            return hcol.at[i].set(cs[i] * hi + sn[i] * hip).at[i + 1].set(
+                -sn[i] * hi + cs[i] * hip
+            )
+
+        h = jax.lax.fori_loop(0, j, rot, h)
+        # new rotation annihilating h[j+1]
+        denom = jnp.sqrt(h[j] * h[j] + h[j + 1] * h[j + 1])
+        denom = jnp.maximum(denom, tiny)
+        c_new, s_new = h[j] / denom, h[j + 1] / denom
+        h = h.at[j].set(denom).at[j + 1].set(0.0)
+        cs = cs.at[j].set(c_new)
+        sn = sn.at[j].set(s_new)
+        gj = g[j]
+        g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+        H = H.at[:, j].set(h)
+        return (V, H, cs, sn, g, j + 1, jnp.abs(g[j + 1]))
+
+    def outer_cond(st):
+        _x, res, it = st
+        return (res > tol) & (it < max_iter)
+
+    def outer_body(st):
+        x, _res, it = st
+        r = b - A.spmv(x)
+        beta = norm(r)
+        V0 = jnp.zeros((m + 1, n), dtype).at[0].set(
+            r / jnp.maximum(beta, tiny)
+        )
+        H0 = jnp.zeros((m + 1, m), dtype)
+        z = jnp.zeros(m, dtype)
+        g0 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        V, H, cs, sn, g, j, res = jax.lax.while_loop(
+            inner_cond, inner_body, (V0, H0, z, z, g0, jnp.int32(0), beta)
+        )
+        # back-substitute the j x j triangular system (identity padding on
+        # unused rows keeps the solve well-defined at any j)
+        rows = jnp.arange(m)
+        used = rows < j
+        Ht = jnp.where(
+            used[:, None] & used[None, :],
+            H[:m, :],
+            jnp.eye(m, dtype=dtype),
+        )
+        y = jax.scipy.linalg.solve_triangular(
+            Ht, jnp.where(used, g[:m], 0.0), lower=False
+        )
+        x = x + M.apply(V[:m].T @ y)
+        return (x, res, it + j)
+
+    x, res, iters = jax.lax.while_loop(
+        outer_cond, outer_body, (x0, beta0, jnp.int32(0))
+    )
+    rel = res / jnp.maximum(beta0, tiny)
+    return x, iters, rel
+
+
 @partial(jax.jit, static_argnames=("max_iter", "use_precise_dot"))
 def bicgstab(
     A: BellMatrix,

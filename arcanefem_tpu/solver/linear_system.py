@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sparse.bell import BellMatrix
-from .iterative import bicgstab, make_precond, pcg
+from .iterative import bicgstab, gmres, make_precond, pcg
 
 
 @partial(
@@ -155,10 +155,11 @@ def apply_bcs(
 class SolverOptions:
     """Mirrors HypreDoFLinearSystemFactory.axl:4-13 defaults."""
 
-    method: str = "cg"  # cg | bicgstab | dense
+    method: str = "cg"  # cg | bicgstab | gmres | dense
     rtol: float = 1.0e-7
     atol: float = 0.0
     max_iter: int = 1000
+    gmres_restart: int = 30  # Krylov basis size for method="gmres"
     preconditioner: str = "jacobi"  # none | jacobi | block-jacobi
     precise_dot: bool = True  # compensated f32 dots (no-op for f64)
     # SpMV backend: "xla" (gather) or "pallas" (window kernel on TPU,
@@ -242,6 +243,11 @@ def solve_finalized(
         x, iters, res = bicgstab(
             A, b, M, x0, options.rtol, options.atol, options.max_iter,
             use_precise_dot=use_precise,
+        )
+    elif options.method == "gmres":
+        x, iters, res = gmres(
+            A, b, M, x0, options.rtol, options.atol, options.max_iter,
+            restart=options.gmres_restart, use_precise_dot=use_precise,
         )
     else:
         raise ValueError(f"unknown solver method '{options.method}'")

@@ -130,3 +130,69 @@ def test_bicgstab_f32_precise_dot_reaches_tight_residual():
     np.testing.assert_allclose(
         np.asarray(x), np.asarray(xd), rtol=5e-4, atol=5e-4
     )
+
+
+def test_gmres_matches_dense():
+    """Restarted GMRES on a nonsymmetric (row-eliminated) system; restart
+    smaller than the iteration count so the outer loop is exercised."""
+    from arcanefem_tpu.solver.iterative import gmres
+
+    prob, sys = _poisson_system(method="RowElimination")
+    A, b = sys.finalized()
+    M = make_precond(A, "jacobi")
+    x, k, rel = gmres(A, b, M, sys.initial_guess(), 1e-12, 0.0, 500, restart=10)
+    xd = jnp.linalg.solve(A.todense(), b)
+    assert float(rel) < 1e-11
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xd), rtol=1e-8, atol=1e-12)
+
+
+def test_gmres_f32_aerodynamics_reaches_1em8():
+    """f32 GMRES with compensated dots reaches 1e-8 relative residual on the
+    aerodynamics farfield system (VERDICT round-1 done-criterion; the
+    reference solves this via Aleph gmres, modules/aerodynamics)."""
+    from arcanefem_tpu.fem.bcs import dtype_safe_penalty
+    from arcanefem_tpu.mesh.core import read_msh
+    from arcanefem_tpu.solver.iterative import gmres
+
+    mesh = read_msh("/root/reference/meshes/msh/NACA0012.msh")
+    prob = FemProblem(mesh, ndof=1, dtype=np.float32)
+    A = prob.assemble_matrix(lambda ct, xyz: elements.stiffness(ct, xyz))
+    sys = prob.new_system(A)
+    pen = dtype_safe_penalty(1.0e30, np.float32)
+    # farfield pins u = y - angle*x on the outer boundary; airfoil u = 0
+    groups = list(mesh.face_groups.keys())
+    outer = max(groups, key=lambda g: len(mesh.group_nodes(g)))
+    inner = min(groups, key=lambda g: len(mesh.group_nodes(g)))
+    ffn = mesh.group_nodes(outer)
+    vals = jnp.asarray(
+        (mesh.coords[ffn, 1] - 0.1 * mesh.coords[ffn, 0]).astype(np.float32)
+    )
+    prob.apply_dirichlet(sys, prob.dof_ids(ffn), vals, "Penalty", pen)
+    prob.apply_dirichlet(sys, prob.group_dofs(inner), 0.0, "Penalty", pen)
+    A32, b32 = sys.finalized()
+    assert A32.values.dtype == jnp.float32
+    M = make_precond(A32, "jacobi")
+    x0 = sys.initial_guess().astype(jnp.float32)
+    x, k, rel = gmres(
+        A32, b32, M, x0, 1e-8, 0.0, 2000, restart=40, use_precise_dot=True
+    )
+    assert float(rel) <= 1.2e-8, f"f32 GMRES stalled at rel={float(rel):.2e}"
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_arc_solver_method_routing():
+    """gmres routes to gmres; bicgstab2 to bicgstab (fem/arc.py)."""
+    import xml.etree.ElementTree as ET
+
+    from arcanefem_tpu.fem.arc import parse_solver
+
+    def fem_with(method):
+        return ET.fromstring(
+            "<fem><linear-system name='AlephLinearSystem'>"
+            f"<solver-method>{method}</solver-method>"
+            "</linear-system></fem>"
+        )
+
+    assert parse_solver(fem_with("gmres")).method == "gmres"
+    assert parse_solver(fem_with("bicgstab2")).method == "bicgstab"
+    assert parse_solver(fem_with("bicgstab")).method == "bicgstab"
