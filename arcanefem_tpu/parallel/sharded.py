@@ -102,11 +102,15 @@ def pdot(a, b):
     return jax.lax.psum(jnp.vdot(a, b), AXIS)
 
 
-def shard_pcg(spmv, inv_diag, b, x0, rtol, atol, max_iter):
-    """Distributed Jacobi-PCG; same convergence criterion as solver.iterative
-    (preconditioned-norm, relative to the warm-started initial residual)."""
+def shard_pcg(spmv, precond, b, x0, rtol, atol, max_iter):
+    """Distributed PCG; same convergence criterion as solver.iterative
+    (preconditioned-norm, relative to the warm-started initial residual).
+
+    ``precond`` is either an inverse-diagonal array (elementwise Jacobi) or
+    a callable r -> M r (e.g. block-Jacobi or a sharded AMG V-cycle)."""
+    apply_M = precond if callable(precond) else (lambda r: precond * r)
     r0 = b - spmv(x0)
-    z0 = inv_diag * r0
+    z0 = apply_M(r0)
     rz0 = pdot(r0, z0)
     tol2 = jnp.maximum(rtol * rtol * jnp.abs(rz0), atol * atol)
 
@@ -120,7 +124,7 @@ def shard_pcg(spmv, inv_diag, b, x0, rtol, atol, max_iter):
         alpha = rz / pdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = inv_diag * r
+        z = apply_M(r)
         rz_new = pdot(r, z)
         p = z + (rz_new / rz) * p
         return (x, r, z, p, rz_new, k + 1)
