@@ -180,6 +180,128 @@ def make_elasticity_step(
     return step
 
 
+def make_elastodynamics_loop(
+    sp: ShardedProblem,
+    mesh: jax.sharding.Mesh,
+    coeffs: dict,
+    gamma: float,
+    beta: float,
+    dt: float,
+    n_steps: int,
+    rtol: float = 1.0e-10,
+    atol: float = 0.0,
+    max_iter: int = 2000,
+    ndof: int = 2,
+):
+    """Sharded transient elastodynamics: the reference's synchronize()-per-
+    step Newmark loop (modules/elastodynamics/FemModule.cc:429+) as ONE
+    jitted shard_map program.
+
+    TPU-first inversion mirroring models/elastodynamics: the three unit
+    operators M (mass), D (divdiv), E (epseps) are assembled once per shard
+    over the frozen sparsity, the LHS is c0·M + c1·D + c2·E with penalty
+    Dirichlet written once, and a ``lax.scan`` over ``n_steps`` rebuilds
+    only the RHS (three halo-exchanged block SpMVs), solves with the
+    distributed PCG warm-started at the previous displacement, and applies
+    the Newmark update — the halo exchange inside the SpMVs is the
+    ``synchronize()`` of the reference's loop.
+
+    Returns fn(arrs, f, forced_mask, forced_val, penalty) ->
+    (U, V, A, iters_total) with (P, N_own_max, b) sharded states.
+    """
+    n_own_max, width, b = sp.n_own_max, sp.width, ndof
+    pspec = jax.sharding.PartitionSpec(AXIS)
+    c = coeffs
+    mass_c = (c["c0"], c["c3"], c["c4"])
+    div_c = (-c["c5"], c["c7"], c["c8"])
+    eps_c = (-c["c6"], c["c9"], c["c10"])
+
+    def shard_fn(
+        cells_xyz, slot_map, rhs_map, ell_cols, diag_slot,
+        send_idx, halo_src, f, forced_mask, forced_val, penalty,
+    ):
+        (cells_xyz, slot_map, rhs_map, ell_cols, diag_slot, send_idx,
+         halo_src, forced_mask, forced_val) = jax.tree.map(
+            lambda a: a[0],
+            (cells_xyz, slot_map, rhs_map, ell_cols, diag_slot, send_idx,
+             halo_src, forced_mask, forced_val),
+        )
+        asm = lambda k: shard_assemble_blocks(
+            cells_xyz, slot_map, n_own_max, width, k, b
+        )
+        Mv = asm(lambda ct, xyz: elements.mass_blocks(ct, xyz, b))
+        Dv = asm(elements.divdiv)
+        Ev = asm(elements.epseps)
+        Av = c["c0"] * Mv + c["c1"] * Dv + c["c2"] * Ev
+        Av = apply_penalty_blocks(Av, diag_slot, forced_mask, penalty)
+
+        rhs_body = shard_vector_source(cells_xyz, rhs_map, n_own_max, f)
+
+        dblk = Av.reshape(-1, b, b)[diag_slot]
+        d = jnp.einsum("ncc->nc", dblk)
+        inv_diag = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+
+        def spmv_of(vals):
+            return lambda x: shard_spmv_block(
+                vals, ell_cols, x, send_idx, halo_src
+            )
+
+        A_mv, M_mv, D_mv, E_mv = (
+            spmv_of(Av), spmv_of(Mv), spmv_of(Dv), spmv_of(Ev)
+        )
+
+        def one_step(carry, _):
+            U, V, Acc, it_tot = carry
+            rhs = rhs_body
+            rhs = rhs + M_mv(mass_c[0] * U + mass_c[1] * V + mass_c[2] * Acc)
+            rhs = rhs + D_mv(div_c[0] * U + div_c[1] * V + div_c[2] * Acc)
+            rhs = rhs + E_mv(eps_c[0] * U + eps_c[1] * V + eps_c[2] * Acc)
+            rhs = jnp.where(forced_mask, penalty * forced_val, rhs)
+            x0 = jnp.where(forced_mask, forced_val, U)
+            dU, it, _res = shard_pcg(
+                A_mv, inv_diag, rhs, x0, rtol, atol, max_iter
+            )
+            aloc = (
+                (dU - U - dt * V) / (beta * dt * dt)
+                - (1 - 2 * beta) / (2 * beta) * Acc
+            )
+            Vn = V + dt * ((1 - gamma) * Acc + gamma * aloc)
+            return (dU, Vn, aloc, it_tot + it), None
+
+        U0 = jnp.where(forced_mask, forced_val, 0.0).astype(rhs_body.dtype)
+        V0 = jnp.zeros_like(U0)
+        A0 = jnp.zeros_like(U0)
+        (U, V, Acc, iters), _ = jax.lax.scan(
+            one_step, (U0, V0, A0, jnp.int32(0)), None, length=n_steps
+        )
+        return U[None], V[None], Acc[None], iters
+
+    repl = jax.sharding.PartitionSpec()
+    smapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            {k: pspec for k in sp.cells_xyz},
+            {k: pspec for k in sp.slot_map},
+            {k: pspec for k in sp.rhs_map},
+            pspec, pspec, pspec, pspec,
+            repl, pspec, pspec, repl,
+        ),
+        out_specs=(pspec, pspec, pspec, repl),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(arrs, f, forced_mask, forced_val, penalty):
+        return smapped(
+            arrs["cells_xyz"], arrs["slot_map"], arrs["rhs_map"],
+            arrs["ell_cols"], arrs["diag_slot"], arrs["send_idx"],
+            arrs["halo_src"], f, forced_mask, forced_val, penalty,
+        )
+
+    return run
+
+
 def stacked_dof_mask(
     sp: ShardedProblem,
     ndof: int,
