@@ -1,0 +1,267 @@
+"""Unstructured tetrahedral mesh generation + uniform refinement (host).
+
+The reference's north-star 3D benchmark mesh is ``sphere_cut``: a radius-100
+sphere with the (+,+,+) octant box removed, meshed with tetrahedra and
+scaled to ~10M DoF (reference meshes/med/sphere_cut.py — a Salome/Gmsh
+recipe; groups "Cut" = the three flat cut faces, "sphere" = the spherical
+surface).  Neither Salome nor Gmsh is available here, so we rebuild the
+same geometry with a filtered Delaunay triangulation:
+
+* quasi-uniform interior points (jittered grid) restricted to the domain,
+* explicit boundary points on the sphere surface, the three cut planes,
+  and the sharp feature curves (arcs + axes) so the boundary is crisp,
+* scipy Delaunay, then drop tetrahedra whose centroid is outside.
+
+``refine_tetra`` performs uniform 1->8 tetra subdivision (new node per
+unique edge, the standard red refinement) so a moderate Delaunay mesh can
+be scaled to benchmark size — the same scaling role as the reference's
+mesh-size parameter sweep (modules/testlab/benchmarking/run-benchmark.sh).
+
+The result is a genuinely unstructured mesh: irregular connectivity,
+variable node degree, no exploitable stencil structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .core import Mesh
+
+RADIUS = 100.0
+
+
+def _inside(p: np.ndarray, margin: float) -> np.ndarray:
+    """Mask of points inside the sphere-minus-octant domain."""
+    r = np.linalg.norm(p, axis=1)
+    in_sphere = r < RADIUS - margin
+    in_cut_octant = np.min(p, axis=1) > margin
+    return in_sphere & ~in_cut_octant
+
+
+def _fibonacci_sphere(n: int, rng) -> np.ndarray:
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5.0**0.5) * i
+    p = np.stack(
+        [
+            np.sin(phi) * np.cos(theta),
+            np.sin(phi) * np.sin(theta),
+            np.cos(phi),
+        ],
+        axis=1,
+    )
+    return RADIUS * p
+
+
+def _disk_points(h: float, rng) -> np.ndarray:
+    """Jittered-grid points on the 3/4 disk of radius R in 2D (u, v),
+    excluding the (+,+) quadrant, plus the boundary feature curves."""
+    n = int(2 * RADIUS / h)
+    u = np.linspace(-RADIUS, RADIUS, n + 1)
+    U, V = np.meshgrid(u, u, indexing="ij")
+    pts = np.stack([U.ravel(), V.ravel()], axis=1)
+    pts += rng.uniform(-0.3 * h, 0.3 * h, pts.shape)
+    r = np.linalg.norm(pts, axis=1)
+    keep = (r < RADIUS - 0.6 * h) & ~(
+        (pts[:, 0] > 0.6 * h) & (pts[:, 1] > 0.6 * h)
+    )
+    interior = pts[keep]
+    # 3/4 circle arc
+    na = int(1.5 * np.pi * RADIUS / h)
+    ang = np.linspace(0.5 * np.pi, 2.0 * np.pi, na + 1)
+    arc = RADIUS * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    # the two straight feature edges (positive u and v axes)
+    ne = int(RADIUS / h)
+    t = np.linspace(0.0, RADIUS - h, ne)
+    eu = np.stack([t, np.zeros_like(t)], axis=1)
+    ev = np.stack([np.zeros_like(t), t], axis=1)
+    return np.concatenate([interior, arc, eu, ev])
+
+
+def sphere_cut_points(h: float, seed: int = 0) -> np.ndarray:
+    """Quasi-uniform point cloud for the sphere_cut domain, spacing ~h."""
+    rng = np.random.default_rng(seed)
+
+    # interior: jittered grid
+    n = int(2 * RADIUS / h)
+    u = np.linspace(-RADIUS, RADIUS, n + 1)
+    X, Y, Z = np.meshgrid(u, u, u, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    pts += rng.uniform(-0.3 * h, 0.3 * h, pts.shape)
+    interior = pts[_inside(pts, 0.6 * h)]
+
+    # sphere surface (minus the cut octant)
+    n_surf = int(4 * np.pi * RADIUS**2 / (0.8 * h) ** 2)
+    sp = _fibonacci_sphere(n_surf, rng)
+    sp = sp[~(np.min(sp, axis=1) > 0.5 * h)]
+
+    # three cut planes: x=0, y=0, z=0 (3/4 disks, shared feature curves
+    # deduplicated later through rounding)
+    d = _disk_points(h, rng)
+    zeros = np.zeros((len(d), 1))
+    cuts = np.concatenate(
+        [
+            np.concatenate([zeros, d], axis=1),  # x = 0
+            np.concatenate([d[:, :1], zeros, d[:, 1:]], axis=1),  # y = 0
+            np.concatenate([d, zeros], axis=1),  # z = 0
+        ]
+    )
+
+    all_pts = np.concatenate([interior, sp, cuts])
+    # dedup near-coincident points (feature curves shared by planes)
+    key = np.round(all_pts / (0.4 * h)).astype(np.int64)
+    _, idx = np.unique(key, axis=0, return_index=True)
+    return all_pts[np.sort(idx)]
+
+
+def delaunay_mesh(points: np.ndarray, classify_boundary: bool = True) -> Mesh:
+    """Delaunay-tetrahedralize a sphere_cut point cloud and trim to the
+    domain; boundary faces classified into the reference's "Cut" /
+    "sphere" groups by centroid position."""
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(points)
+    tets = tri.simplices.astype(np.int32)
+    cent = points[tets].mean(axis=1)
+    r = np.linalg.norm(cent, axis=1)
+    keep = (r < RADIUS) & ~(np.min(cent, axis=1) > 0.0)
+    # drop near-degenerate slivers (flat Delaunay artifacts on surfaces)
+    p = points[tets]
+    v = p[:, 1:] - p[:, :1]
+    vol6 = np.einsum(
+        "ij,ij->i", np.cross(v[:, 0], v[:, 1]), v[:, 2]
+    )
+    edge = np.linalg.norm(p[:, 1] - p[:, 0], axis=1)
+    keep &= np.abs(vol6) > 1e-4 * edge**3
+    tets = tets[keep]
+    # orient positively
+    flip = vol6[keep] < 0
+    tets[flip, 0], tets[flip, 1] = tets[flip, 1], tets[flip, 0].copy()
+
+    # compact node numbering to referenced nodes only
+    used = np.unique(tets)
+    remap = np.full(len(points), -1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    mesh = Mesh(
+        coords=points[used],
+        node_uids=np.arange(1, len(used) + 1, dtype=np.int64),
+        cells={"tetra4": remap[tets]},
+        dim=3,
+    )
+    if classify_boundary:
+        _classify_sphere_cut_boundary(mesh)
+    return mesh
+
+
+def _classify_sphere_cut_boundary(mesh: Mesh) -> None:
+    """Split exterior faces into "Cut" (the three flat faces) and "sphere"
+    groups — the same names the reference recipe assigns."""
+    faces = mesh.boundary_faces().get("tria3", np.zeros((0, 3), np.int32))
+    if not len(faces):
+        return
+    cent = mesh.coords[faces].mean(axis=1)
+    r = np.linalg.norm(cent, axis=1)
+    near_plane = np.min(np.abs(cent), axis=1)
+    is_cut = near_plane < (RADIUS - r)  # closer to a cut plane than to the sphere
+    mesh.face_groups["Cut"] = {"tria3": faces[is_cut]}
+    mesh.face_groups["sphere"] = {"tria3": faces[~is_cut]}
+
+
+def sphere_cut_tetra_mesh(h: float, seed: int = 0) -> Mesh:
+    """The full recipe: points -> Delaunay -> trimmed, grouped Mesh."""
+    return delaunay_mesh(sphere_cut_points(h, seed))
+
+
+# --- uniform red refinement ------------------------------------------------
+
+# child tets of the 1->8 split in terms of (corner 0..3, edge 0..5) local
+# ids; edges in the gmsh tetra order used by generate._Q_EDGES:
+#   e0=(0,1) e1=(1,2) e2=(0,2) e3=(0,3) e4=(2,3) e5=(1,3)
+_TET_EDGES = [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]
+# corners 0..3 -> local ids 0..3, edge k -> local id 4+k
+_TET_CHILDREN = [
+    (0, 4, 6, 7),  # corner 0
+    (4, 1, 5, 9),  # corner 1
+    (6, 5, 2, 8),  # corner 2
+    (7, 9, 8, 3),  # corner 3
+    # interior octahedron split along the (e0,e4) = (4,8) diagonal
+    (4, 5, 6, 8),
+    (4, 5, 8, 9),
+    (4, 6, 7, 8),
+    (4, 7, 9, 8),
+]
+_TRI_EDGES = [(0, 1), (1, 2), (2, 0)]
+_TRI_CHILDREN = [(0, 3, 5), (3, 1, 4), (5, 4, 2), (3, 4, 5)]
+
+
+def refine_tetra(mesh: Mesh) -> Mesh:
+    """Uniform red refinement: every tetra4 -> 8 children, every boundary
+    tria3 face -> 4; one new node per unique edge (midpoint).
+
+    The refinement scaling role of the reference benchmark's mesh-size
+    parameter; connectivity stays fully unstructured.
+    """
+    conn = mesh.cells["tetra4"].astype(np.int64)
+
+    pairs = np.asarray(_TET_EDGES)
+    edges = np.sort(conn[:, pairs].reshape(-1, 2), axis=1)
+    uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+    mid = (mesh.n_nodes + np.arange(len(uniq))).astype(np.int64)
+    coords = np.concatenate(
+        [mesh.coords, 0.5 * (mesh.coords[uniq[:, 0]] + mesh.coords[uniq[:, 1]])]
+    )
+
+    loc = np.concatenate(
+        [conn, mid[inv].reshape(len(conn), 6)], axis=1
+    )  # (nc, 10): corners + edge midpoints
+    children = np.concatenate(
+        [loc[:, list(ch)] for ch in _TET_CHILDREN], axis=0
+    ).astype(np.int32)
+
+    # refine boundary face groups: midpoints already exist (face edges are
+    # tet edges); locate them through the same unique-edge table
+    edge_lookup = {}
+    new_fg: dict[str, dict[str, np.ndarray]] = {}
+    if mesh.face_groups:
+        # map (a, b) sorted edge -> midpoint id via searchsorted on uniq
+        def edge_mid(e):
+            e = np.sort(e, axis=1)
+            pos = np.searchsorted(uniq[:, 0] * (2**32) + uniq[:, 1],
+                                  e[:, 0] * (2**32) + e[:, 1])
+            return mid[pos]
+
+        # uniq is lexicographically sorted by (a, b); build the packed key
+        packed = uniq[:, 0] * (2**32) + uniq[:, 1]
+        assert np.all(np.diff(packed) > 0)
+        for g, types in mesh.face_groups.items():
+            fconn = types.get("tria3")
+            if fconn is None or not len(fconn):
+                continue
+            f = fconn.astype(np.int64)
+            fe = np.sort(f[:, np.asarray(_TRI_EDGES)].reshape(-1, 2), axis=1)
+            fk = fe[:, 0] * (2**32) + fe[:, 1]
+            pos = np.searchsorted(packed, fk)
+            valid = (pos < len(packed))
+            pos = np.clip(pos, 0, len(packed) - 1)
+            valid &= packed[pos] == fk
+            fmid = np.where(valid, mid[pos], -1).reshape(len(f), 3)
+            ok = np.all(fmid >= 0, axis=1)
+            floc = np.concatenate([f[ok], fmid[ok]], axis=1)
+            fchildren = np.concatenate(
+                [floc[:, list(ch)] for ch in _TRI_CHILDREN], axis=0
+            ).astype(np.int32)
+            new_fg[g] = {"tria3": fchildren}
+    del edge_lookup
+
+    uid0 = int(mesh.node_uids.max()) + 1
+    return Mesh(
+        coords=coords,
+        node_uids=np.concatenate(
+            [mesh.node_uids,
+             np.arange(uid0, uid0 + len(uniq), dtype=np.int64)]
+        ),
+        cells={"tetra4": children},
+        dim=3,
+        face_groups=new_fg,
+        node_groups=dict(mesh.node_groups),
+    )

@@ -16,10 +16,18 @@ it:
 * the kernel emits gathered·value products; the per-row sum is a trivial
   XLA reshape+reduce outside (consecutive W lanes per node).
 
-Cost: O(E/1024 · V/128) vector ops — a win whenever the matrix bandwidth V
-is moderate (2D meshes, extruded grids; RCM keeps it ~√N there).  Wide-band
-3D meshes should use the structured stencil path (mesh/structured.py) or
-the XLA fallback; plan_windows() returns None in that case.
+Cost: O(E/1024 · V/128) vector ops.  V is what matters; two mechanisms
+keep it small on wide-bandwidth (3D) meshes:
+
+* **multi-window blocks** — a 3D RCM matrix's row-block columns cluster
+  into a few bands (same / previous / next BFS level of the RCM ordering),
+  so instead of one window spanning the whole bandwidth, the planner splits
+  each block's columns at the S-1 largest gaps and DMAs S small windows
+  into one virtual VMEM window.  Measured on a 300k-node unstructured
+  tetra mesh: single window ~18k elements vs S=6 multi-window ~6-9k.
+* **hoisted index split** — the (sublane, lane) split of each entry's
+  virtual window index is computed once before the sweep, so a sweep step
+  is broadcast + gather + compare + select-accumulate (5 vector ops).
 
 This is the TPU-native re-design of the role the reference's CUDA CSR SpMV
 plays inside Hypre's PCG (femutils/HypreDoFLinearSystem.cc:686-742).
@@ -41,20 +49,41 @@ LANE = 128
 
 @dataclass
 class WindowPlan:
-    """Host-side blocking plan for one topology (built once)."""
+    """Host-side blocking plan for one topology (built once).
+
+    A block's VMEM window is the concatenation of S sub-windows (slots);
+    slot s has the static size ``slot_rows[s]·128`` and per-block start row
+    ``lo[b, s]``.  ``lcols`` holds *virtual* window indices: an entry whose
+    column lands in slot s at local row r, lane c maps to
+    ``(slot_off[s] + r)·128 + c`` where slot_off is the running sum of
+    slot_rows.  S=1 degenerates to the original single-window layout.
+    """
 
     n_nodes: int
     width: int
     block_rows: int  # R
-    window: int  # V (multiple of 128)
+    window: int  # total V = sum(slot_rows)·128 (multiple of 8·128)
     n_blocks: int
-    lo: np.ndarray  # (n_blocks,) int32 window starts
-    lcols: np.ndarray  # (n_blocks, G, 128) window-local columns
+    lo: np.ndarray  # (n_blocks, S) int32 per-slot window start rows
+    lcols: np.ndarray  # (n_blocks, G, 128) virtual window-local columns
+    slot_rows: tuple  # per-slot sub-window heights (rows of 128)
+    need_rows: int  # source rows the DMAs may touch: max(lo[:,s]+slot_rows[s])
     order: np.ndarray | None  # flat entry order used for tiling (or None)
+
+    def global_cols(self) -> np.ndarray:
+        """Reconstruct the original (nb·R, W) column indices (tests)."""
+        off = np.concatenate([[0], np.cumsum(self.slot_rows)])
+        v = self.lcols.reshape(self.n_blocks, -1).astype(np.int64)
+        vrow, lane = v >> 7, v & (LANE - 1)
+        s = np.searchsorted(off, vrow, side="right") - 1
+        g = (self.lo[np.arange(self.n_blocks)[:, None], s] + vrow - off[s])
+        return (g * LANE + lane).reshape(
+            self.n_blocks * self.block_rows, self.width
+        )
 
 
 def plan_windows(
-    topo: Topology, block_rows: int = 512, max_window: int = 32 * 1024
+    topo: Topology, block_rows: int = 512, max_window: int = 128 * 1024
 ) -> WindowPlan | None:
     """None if any block's window exceeds the VMEM budget."""
     return plan_windows_from_cols(
@@ -62,15 +91,24 @@ def plan_windows(
     )
 
 
+_SLOT_CANDIDATES = (1, 2, 3, 4, 6, 8)
+
+
 def plan_windows_from_cols(
     cols_in: np.ndarray, pad_target: int,
-    block_rows: int = 512, max_window: int = 32 * 1024,
+    block_rows: int = 512, max_window: int = 128 * 1024,
+    slot_candidates: tuple = _SLOT_CANDIDATES,
 ) -> WindowPlan | None:
     """Window plan over an arbitrary (rows, W) gather-index array.
 
     Used both for the BELL SpMV (indices into x) and the general assembly
     gather (indices into the flat element-entry array); pad rows point at
     pad_target, which must be a valid always-safe source index.
+
+    For each candidate sub-window count S, every block's column row-groups
+    are split at the block's S-1 largest index gaps; slot s's static height
+    is the max over blocks of the s-th largest cluster span.  The S with
+    the smallest total window wins (ties favour fewer DMAs).
     """
     n, W = cols_in.shape
     R = block_rows
@@ -82,20 +120,85 @@ def plan_windows_from_cols(
     cols[:n] = cols_in
     cols[n:] = pad_target
     blk = cols.reshape(nb, R * W)
-    # lane-align window starts so the window DMA is a whole-row 2D copy
-    lo = ((blk.min(axis=1) // LANE) * LANE).astype(np.int64)
-    vmax = int((blk.max(axis=1) - lo).max()) + 1
-    # full (8, 128) f32 tiles: a non-multiple-of-8 sublane count in the
-    # VMEM window scratch faults the DMA on v5e
-    V = -(-vmax // (8 * LANE)) * (8 * LANE)
-    if V > max_window:
+
+    # sorted row-groups (col // 128) per block; gaps drive the clustering
+    srt = np.sort(blk // LANE, axis=1).astype(np.int32)  # (nb, M)
+    M = srt.shape[1]
+    d = np.diff(srt, axis=1)
+
+    def layout_for(S):
+        """(slot_rows list, starts (nb,S), ends (nb,S)) or None."""
+        if S == 1:
+            starts = srt[:, :1].astype(np.int64)
+            spans = (srt[:, -1] - srt[:, 0] + 1).astype(np.int64)[:, None]
+        else:
+            k = min(S - 1, M - 1)
+            gi = np.argpartition(d, -k, axis=1)[:, -k:]
+            gi = np.sort(gi, axis=1)  # (nb, k) split positions
+            b_idx = np.arange(nb)[:, None]
+            seg_start = np.concatenate(
+                [np.zeros((nb, 1), np.int64), gi + 1], axis=1
+            )  # (nb, k+1) indices into srt
+            seg_end = np.concatenate(
+                [gi, np.full((nb, 1), M - 1, np.int64)], axis=1
+            )
+            starts = srt[b_idx, seg_start].astype(np.int64)
+            spans = (srt[b_idx, seg_end] - starts + 1).astype(np.int64)
+            if k + 1 < S:  # pad unused slots with empty clusters
+                pad = S - (k + 1)
+                starts = np.concatenate(
+                    [starts, np.repeat(starts[:, :1], pad, axis=1)], axis=1
+                )
+                spans = np.concatenate(
+                    [spans, np.zeros((nb, pad), np.int64)], axis=1
+                )
+            # assign clusters to slots largest-first so the static per-slot
+            # heights (max over blocks) stay tight
+            ordr = np.argsort(-spans, axis=1, kind="stable")
+            starts = np.take_along_axis(starts, ordr, axis=1)
+            spans = np.take_along_axis(spans, ordr, axis=1)
+        # static slot heights, rounded to full (8,128) f32 tiles (a
+        # non-multiple-of-8 sublane count in the DMA faults on v5e)
+        slot_rows = [
+            max(8, int(-(-int(spans[:, s].max()) // 8) * 8))
+            for s in range(starts.shape[1])
+        ]
+        if sum(slot_rows) * LANE > max_window:
+            return None
+        return slot_rows, starts, spans
+
+    best = None
+    for S in slot_candidates:
+        out = layout_for(S)
+        if out is None:
+            continue
+        total = sum(out[0])
+        if best is None or total < best[0]:
+            best = (total, out)
+    if best is None:
         return None
+    slot_rows, starts, spans = best[1]
+    S = len(slot_rows)
+    off = np.concatenate([[0], np.cumsum(slot_rows)])
+
+    # map every entry to (slot, virtual index)
+    rg = (blk >> 7).astype(np.int64)  # (nb, M) row-group of each entry
+    lane = (blk & (LANE - 1)).astype(np.int64)
+    virt = np.full(blk.shape, -1, np.int64)
+    for s in range(S):
+        lo_s = starts[:, s : s + 1]
+        in_s = (rg >= lo_s) & (rg < lo_s + spans[:, s : s + 1]) & (virt < 0)
+        virt = np.where(in_s, (off[s] + rg - lo_s) * LANE + lane, virt)
+    assert virt.min() >= 0, "multi-window planner missed an entry"
+
     G = R * W // LANE
-    lcols = (blk - lo[:, None]).reshape(nb, G, LANE).astype(np.int32)
-    lo = (lo // LANE).astype(np.int32)  # window start as a row index
+    need_rows = int((starts + np.asarray(slot_rows)[None, :]).max())
     return WindowPlan(
-        n_nodes=n, width=W, block_rows=R, window=V, n_blocks=nb,
-        lo=lo, lcols=lcols, order=None,
+        n_nodes=n, width=W, block_rows=R,
+        window=int(off[-1]) * LANE, n_blocks=nb,
+        lo=starts.astype(np.int32),
+        lcols=virt.reshape(nb, G, LANE).astype(np.int32),
+        slot_rows=tuple(slot_rows), need_rows=need_rows, order=None,
     )
 
 
@@ -115,36 +218,47 @@ def gather_sum_rows(plan: WindowPlan, table: "jnp.ndarray",
             w = jnp.pad(w, ((0, nb * R - n), (0, 0)))
         vals = w.reshape(nb, G, LANE)
     tp = table.astype(jnp.float32)
-    need = (int(plan.lo.max()) * LANE + plan.window) if nb else plan.window
+    need = plan.need_rows * LANE
     n_t = -(-max(tp.shape[0], need) // LANE) * LANE
     tp = jnp.pad(tp, (0, n_t - tp.shape[0])).reshape(n_t // LANE, LANE)
-    key = (G, plan.window, nb)
+    key = (G, plan.slot_rows, nb)
     prods = _products(vals, jnp.asarray(plan.lcols), jnp.asarray(plan.lo), tp, key)
     return prods.reshape(nb * R, W).sum(axis=1)[:n]
 
 
-def _make_kernel(G: int, V: int):
+def _make_kernel(G: int, slot_rows: tuple):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def body(lo_ref, vals_ref, lcols_ref, x_hbm, out_ref, win_ref, sem):
-        b = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(lo_ref[b], V // LANE), :], win_ref, sem
-        )
-        cp.start()
-        cp.wait()
+    S = len(slot_rows)
+    offs = [0]
+    for r in slot_rows:
+        offs.append(offs[-1] + r)
+    V = offs[-1] * LANE
 
-        idx = lcols_ref[0]  # (G, 128)
+    def body(lo_ref, vals_ref, lcols_ref, x_hbm, out_ref, win_ref, *sems):
+        b = pl.program_id(0)
+        cps = []
+        for s in range(S):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(lo_ref[b, s], slot_rows[s]), :],
+                win_ref.at[pl.ds(offs[s], slot_rows[s]), :],
+                sems[s],
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        idx = lcols_ref[0]  # (G, 128) virtual window indices
+        hi = idx >> 7  # sublane (window row), loop-invariant
+        lj = idx & (LANE - 1)  # lane within the row
         win = win_ref[:]  # (V // LANE, LANE)
         acc = jnp.zeros((G, LANE), jnp.float32)
         for k in range(V // LANE):
             chunk = jnp.broadcast_to(win[k], (G, LANE))
-            loc = idx - k * LANE
-            got = jnp.take_along_axis(
-                chunk, jnp.clip(loc, 0, LANE - 1), axis=1
-            )
-            acc = acc + jnp.where((loc >= 0) & (loc < LANE), got, 0.0)
+            got = jnp.take_along_axis(chunk, lj, axis=1)
+            acc = acc + jnp.where(hi == k, got, 0.0)
         out_ref[0] = vals_ref[0] * acc
 
     return body
@@ -155,7 +269,8 @@ def _products(vals_tiled, lcols, lo, x, key):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    G, V, nb = key
+    G, slot_rows, nb = key
+    V = sum(slot_rows) * LANE
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -168,13 +283,11 @@ def _products(vals_tiled, lcols, lo, x, key):
         ],
         out_specs=pl.BlockSpec((1, G, LANE), lambda b, s: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((V // LANE, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=[pltpu.VMEM((V // LANE, LANE), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA] * len(slot_rows),
     )
     return pl.pallas_call(
-        _make_kernel(G, V),
+        _make_kernel(G, slot_rows),
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         grid_spec=grid_spec,
     )(lo, vals_tiled, lcols, x)
@@ -310,7 +423,8 @@ class PallasBellSpmv:
             p = self.plan
             self._lcols = jnp.asarray(p.lcols)
             self._lo = jnp.asarray(p.lo)
-            self._key = (p.block_rows * p.width // LANE, p.window, p.n_blocks)
+            self._key = (p.block_rows * p.width // LANE, p.slot_rows,
+                         p.n_blocks)
 
     @property
     def available(self) -> bool:
@@ -336,9 +450,9 @@ class PallasBellSpmv:
         if nb * R != n:
             vals = jnp.pad(vals, ((0, nb * R - n), (0, 0)))
         vals_tiled = vals.reshape(nb, G, LANE)
-        # pad x to full lanes + one window of slack past every start row
+        # pad x to full lanes, covering every sub-window DMA's reach
         xp = x.astype(jnp.float32)
-        need = (int(p.lo.max()) * LANE + p.window) if p.n_blocks else p.window
+        need = p.need_rows * LANE
         n_x = -(-max(n, need) // LANE) * LANE
         xp = jnp.pad(xp, (0, n_x - n)).reshape(n_x // LANE, LANE)
         prods = _products(vals_tiled, lcols, lo, xp, self._key)

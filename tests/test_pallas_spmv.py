@@ -65,9 +65,8 @@ def test_window_plan_geometry():
     # every localized column must be inside its block's window
     assert plan.lcols.min() >= 0
     assert plan.lcols.max() < plan.window
-    # reconstruction: lo*LANE + lcols == original cols (for real rows)
-    flat = plan.lcols.reshape(nb, R * W) + (plan.lo.astype(np.int64) * LANE)[:, None]
-    rec = flat.reshape(nb * R, W)[:n]
+    # reconstruction through the slot layout == original cols (real rows)
+    rec = plan.global_cols()[:n]
     np.testing.assert_array_equal(rec, topo.ell_cols)
 
 
@@ -122,12 +121,8 @@ def test_assembler_plan_and_mask():
     )
     # window-local sources reconstruct the global ones
     plan = asm.plan
-    flat = plan.lcols.reshape(plan.n_blocks, -1) + (
-        plan.lo.astype(np.int64) * LANE
-    )[:, None]
     n = topo.n_slots
-    K = asm.K
-    rec = flat.reshape(-1, K)[:n]
+    rec = plan.global_cols()[:n]
     real = asm.mask.astype(bool)
     # each real source index is within the entry array
     E = sum(m.size for m in topo.slot_maps.values())
