@@ -79,15 +79,20 @@ def build_sharded_amg(sp: ShardedProblem, amg: AMGPrecond) -> ShardedAMG:
     # zero-valued transfer entries keep their (arbitrary) column; route all
     # of them to the dump slot so segment sums stay clean
     pcols0 = np.where(pvals0 != 0.0, pcols0, n1).astype(np.int32)
+    # the replicated inner hierarchy runs INSIDE shard_map: strip the
+    # single-device Pallas operators (window kernels are not legal there;
+    # the inner levels are small enough for the XLA einsum/gather path)
     inner = replace(
         amg,
-        mats=amg.mats[1:],
+        mats=tuple(getattr(m, "bell", m) for m in amg.mats[1:]),
         inv_diags=amg.inv_diags[1:],
         pcols=amg.pcols[1:],
         pvals=amg.pvals[1:],
         ptcols=amg.ptcols[1:],
         ptvals=amg.ptvals[1:],
         omegas=amg.omegas[1:],
+        p_apply=(),
+        pt_apply=(),
     )
     return ShardedAMG(
         inv_diag0=inv_diag0,

@@ -107,9 +107,12 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
         np.maximum.at(agg, cols[take], ids[rows[take]])
         na += nr
     # pass 2, vectorised: leftovers take an aggregated strong neighbour's
-    # id (max over neighbours); a few rounds catch chains.  Rows with no
-    # strong neighbour stay out of the coarse space (penalty/Dirichlet).
-    for _ in range(8):
+    # id (max over neighbours).  LIMITED to 2 rounds: iterating until
+    # fixpoint lets chains of leftovers pile shell-by-shell onto the same
+    # aggregate (measured max size 136 on the 300k sphere_cut, which blew
+    # the Galerkin operator width up to 1700); bounded rounds keep
+    # aggregate diameter ~3 and the remainder becomes fresh singletons.
+    for _ in range(2):
         free = agg < 0
         if not free.any():
             break
@@ -126,13 +129,52 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
     if nl:
         agg[left] = na + np.arange(nl)
         na += nl
+    # relabel aggregates in first-member order: coarse numbering then
+    # inherits the fine (RCM) locality, which keeps coarse-level matrices
+    # and transfer operators window-plannable (sparse/pallas_spmv.py)
+    if na:
+        sel = agg >= 0
+        firsts = np.full(na, n, np.int64)
+        np.minimum.at(firsts, agg[sel], np.arange(n)[sel])
+        rank = np.empty(na, np.int64)
+        rank[np.argsort(firsts, kind="stable")] = np.arange(na)
+        agg[sel] = rank[agg[sel]]
     return agg, na
+
+
+class _PlannedMat:
+    """BellMatrix + a width-capped PlannedGather SpMV (values baked).
+
+    AMG-level operators are immutable after setup, so their values ride
+    inside the gather's pytree data; the wrapped BellMatrix keeps the
+    XLA fallback and the topology/diagonal accessors."""
+
+    def __init__(self, bell: BellMatrix, gather):
+        self.bell = bell
+        self.gather = gather
+
+    @property
+    def topo(self):
+        return self.bell.topo
+
+    def spmv(self, x):
+        return self.gather(x)
+
+    def diagonal(self):
+        return self.bell.diagonal()
+
+
+jax.tree_util.register_pytree_node(
+    _PlannedMat,
+    lambda m: ((m.bell, m.gather), None),
+    lambda _, data: _PlannedMat(data[0], data[1]),
+)
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["mats", "inv_diags", "pcols", "pvals", "ptcols", "ptvals",
-                 "coarse_inv"],
+                 "coarse_inv", "p_apply", "pt_apply"],
     meta_fields=["nu", "omegas"],
 )
 @dataclass
@@ -153,6 +195,11 @@ class AMGPrecond:
     # per-level damping c/ρ(D⁻¹A_l): SA Galerkin operators get stiffer with
     # depth (ρ can exceed 2), so a fixed ω diverges on coarse levels
     omegas: tuple = ()
+    # window-kernel transfer operators (PlannedGather per level, or None);
+    # XLA's gather runs ~0.11 Gelem/s on big operands, which makes the
+    # einsum transfers dominate the V-cycle at 300k+ dofs
+    p_apply: tuple = ()
+    pt_apply: tuple = ()
 
     def _smooth0(self, l: int, b, sweeps: int):
         om = jnp.asarray(self.omegas[l], b.dtype)
@@ -161,16 +208,24 @@ class AMGPrecond:
             x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
         return x
 
+    def _transfer_down(self, l: int, r):
+        if l < len(self.pt_apply) and self.pt_apply[l] is not None:
+            return self.pt_apply[l](r)
+        return jnp.einsum("nw,nw->n", self.ptvals[l], r[self.ptcols[l]])
+
+    def _transfer_up(self, l: int, xc):
+        if l < len(self.p_apply) and self.p_apply[l] is not None:
+            return self.p_apply[l](xc)
+        return jnp.einsum("nw,nw->n", self.pvals[l], xc[self.pcols[l]])
+
     def _vcycle(self, l: int, b):
         if l == len(self.mats):
             return self.coarse_inv @ b
         x = self._smooth0(l, b, self.nu)
         r = b - self.mats[l].spmv(x)
-        pc, pv = self.pcols[l], self.pvals[l]
-        tc, tv = self.ptcols[l], self.ptvals[l]
-        rc = jnp.einsum("nw,nw->n", tv, r[tc])
+        rc = self._transfer_down(l, r)
         xc = self._vcycle(l + 1, rc)
-        x = x + jnp.einsum("nw,nw->n", pv, xc[pc])
+        x = x + self._transfer_up(l, xc)
         om = jnp.asarray(self.omegas[l], b.dtype)
         for _ in range(self.nu):
             x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
@@ -239,12 +294,48 @@ def build_amg(
             v = w / lam
         return lam
 
+    def truncate_rows(P, kmax=8, rel=0.05):
+        """Cap P's row width: keep the kmax largest-|.| entries per row
+        (and drop entries below rel·rowmax), rescaling the survivors so
+        each row sum is preserved — constants stay exactly interpolated.
+        Unbounded SA prolongator width is what blew the Galerkin operators
+        up to W=1700 on the 300k sphere_cut hierarchy."""
+        indptr, dat = P.indptr, P.data
+        deg = np.diff(indptr)
+        if len(dat) == 0 or int(deg.max(initial=0)) <= kmax and rel == 0:
+            return P
+        nr = P.shape[0]
+        rows = np.repeat(np.arange(nr), deg)
+        order = np.lexsort((-np.abs(dat), rows))
+        rank = np.arange(len(dat)) - np.repeat(indptr[:-1], deg)
+        keep = np.zeros(len(dat), bool)
+        keep[order] = rank < kmax
+        if rel > 0:
+            rowmax = np.zeros(nr)
+            np.maximum.at(rowmax, rows, np.abs(dat))
+            keep &= np.abs(dat) >= rel * rowmax[rows]
+        full = np.zeros(nr)
+        kept = np.zeros(nr)
+        np.add.at(full, rows, dat)
+        np.add.at(kept, rows, dat * keep)
+        scale = np.where(np.abs(kept) > 1e-30, full / np.where(kept == 0, 1, kept), 1.0)
+        import scipy.sparse as sp
+
+        Q = sp.csr_matrix(
+            (dat * keep * scale[rows], P.indices, indptr), shape=P.shape
+        )
+        Q.eliminate_zeros()
+        return Q
+
     dtype = np.asarray(A.values).dtype
     mats, inv_diags, Ps, rhos = [], [], [], []
     cur = Ah
     while cur.shape[0] > coarse_size * b and len(mats) < max_levels:
         n = cur.shape[0]
         nn = n // b  # node count (dofs stay node-major on every level)
+        # Vanek's per-level strength decay: Galerkin operators get denser
+        # with depth, so the same θ keeps far too many edges there
+        theta_l = theta * (0.5 ** len(mats))
         if b > 1:
             # node-level strength on block Frobenius norms: E^T |A|² E
             # with E = I_nn ⊗ 1_b collapses each b×b block to a scalar
@@ -260,10 +351,10 @@ def build_amg(
         else:
             nodeA = cur
         d = np.asarray(nodeA.diagonal())
-        # strength: |a_ij| >= θ·sqrt(a_ii·a_jj), diagonal excluded
+        # strength: |a_ij| >= θ_l·sqrt(a_ii·a_jj), diagonal excluded
         co = nodeA.tocoo()
         scale = np.sqrt(np.abs(d[co.row] * d[co.col])) + 1e-300
-        keep = (np.abs(co.data) >= theta * scale) & (co.row != co.col)
+        keep = (np.abs(co.data) >= theta_l * scale) & (co.row != co.col)
         S = sp.csr_matrix(
             (co.data[keep], (co.row[keep], co.col[keep])), shape=nodeA.shape
         )
@@ -286,16 +377,37 @@ def build_amg(
                 (np.ones(int(sel.sum())), (np.arange(n)[sel], agg[sel])),
                 shape=(n, na),
             )
-        # prolongator smoothing P = (I − (4/3/ρ)·D⁻¹A)·T (standard SA
-        # damping, ω = 4/3 / ρ(D⁻¹A) by host power iteration)
+        # prolongator smoothing on the FILTERED operator (standard SA):
+        # weak (node-)connections are dropped from A and lumped onto the
+        # diagonal, so smoothing spreads T only along strong edges — this
+        # is what keeps P (and the Galerkin product) sparse
+        aco = cur.tocoo()
+        ni = aco.row // b
+        nj = aco.col // b
+        Sco = S.tocoo()
+        skey = np.sort(Sco.row.astype(np.int64) * nn + Sco.col)
+        akey = ni.astype(np.int64) * nn + nj
+        if len(skey):
+            pos = np.minimum(np.searchsorted(skey, akey), len(skey) - 1)
+            strong = (skey[pos] == akey) | (ni == nj)
+        else:
+            strong = ni == nj
+        af_data = np.where(strong, aco.data, 0.0)
+        drop_row = np.zeros(n)
+        np.add.at(drop_row, aco.row, aco.data - af_data)
+        Af = sp.csr_matrix(
+            (af_data, (aco.row, aco.col)), shape=cur.shape
+        ) + sp.diags(drop_row)
+        ddf = np.asarray(Af.diagonal())
+        Dinvf = sp.diags(1.0 / np.where(ddf == 0, 1.0, ddf))
+        DAf = (Dinvf @ Af).tocsr()
+        rho_f = rho_est(DAf)
+        # smoother damping uses the TRUE operator's spectral radius
         dd = np.asarray(cur.diagonal())
         Dinv = sp.diags(1.0 / np.where(dd == 0, 1.0, dd))
-        DA = (Dinv @ cur).tocsr()
-        rho = rho_est(DA)
-        rhos.append(rho)
-        P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho) * DA) @ T
-        P = P.tocsr()
-        P.eliminate_zeros()
+        rhos.append(rho_est((Dinv @ cur).tocsr()))
+        P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho_f) * DAf) @ T
+        P = truncate_rows(P.tocsr())
         nxt = (P.T @ cur @ P).tocsr()
         nxt.sum_duplicates()
 
@@ -303,31 +415,47 @@ def build_amg(
         Ps.append(P)
         cur = nxt
 
+    pallas_ok = use_pallas and jax.devices()[0].platform == "tpu"
+
     def to_bell(M, pallas: bool) -> BellMatrix:
         M = M.tocsr()
         M.sum_duplicates()
         t = _ell_from_csr(M.indptr, M.indices)
         v = np.zeros(t.n_nodes * t.width, dtype)
         v[t.csr_to_ell] = M.data.astype(dtype)
+        vals = v.reshape(t.n_nodes, t.width)
         bm = BellMatrix(
-            values=jnp.asarray(v.reshape(t.n_nodes, t.width, 1, 1)),
+            values=jnp.asarray(vals[..., None, None]),
             topo=t, block=1, cols=jnp.asarray(t.ell_cols),
         )
         if pallas:
-            from ..sparse.pallas_spmv import as_pallas_matrix
+            # width-capped PlannedGather (values baked as pytree data):
+            # the hierarchy's widths grow with depth (Galerkin fill-in,
+            # W≈60-100), and an uncapped ELL kernel at that width blows
+            # the Mosaic stack (G=R·W/128≥300); the split form also halves
+            # the padded-slot sweep work
+            from ..sparse.pallas_spmv import PlannedGather
 
-            bm = as_pallas_matrix(bm)
+            g = PlannedGather.build(
+                np.where(t.ell_valid, t.ell_cols, 0), vals * t.ell_valid
+            )
+            if g is not None:
+                return _PlannedMat(bm, g)
         return bm
 
     bell_mats = []
     for li, M in enumerate(mats):
-        # Pallas window SpMV for the FINE level only: coarse-level gather
-        # tables fit VMEM where XLA's gather is already fast, and one
-        # pallas kernel per program keeps remote compiles lean
-        bm = to_bell(M, use_pallas and li == 0)
-        d = bm.diagonal()
+        # Pallas window SpMV at every level big enough for XLA's gather to
+        # hurt (first-member aggregate relabeling keeps coarse levels
+        # window-plannable); tiny levels stay on XLA to limit the number
+        # of distinct pallas kernels per program (remote-compile cost)
+        bm = to_bell(M, pallas_ok and M.shape[0] >= 8192)
+        # inverse diagonal on the HOST: each tiny device op here costs a
+        # separate remote compile through the axon tunnel (~10-60 s each;
+        # these alone pushed 300k-node setup to ~8 min)
+        d = np.asarray(M.tocsr().diagonal(), dtype)
         inv_diags.append(
-            jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+            jnp.asarray(np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0))
         )
         bell_mats.append(bm)
 
@@ -342,7 +470,11 @@ def build_amg(
         pv[rows, slot] = P.data.astype(dtype)
         return jnp.asarray(pc), jnp.asarray(pv)
 
+    if pallas_ok:
+        from ..sparse.pallas_spmv import PlannedGather
+
     pcols, pvals, ptcols, ptvals = [], [], [], []
+    p_apply, pt_apply = [], []
     for P in Ps:
         pc, pv = p_ell(P)
         pcols.append(pc)
@@ -352,6 +484,12 @@ def build_amg(
         tc, tv = p_ell(PT)
         ptcols.append(tc)
         ptvals.append(tv)
+        ga = gt = None
+        if pallas_ok and P.shape[0] >= 8192:
+            ga = PlannedGather.build(np.asarray(pc), np.asarray(pv))
+            gt = PlannedGather.build(np.asarray(tc), np.asarray(tv))
+        p_apply.append(ga)
+        pt_apply.append(gt)
 
     if cur.shape[0] > 8 * coarse_size * b:
         # aggregation stalled (or max_levels hit early) far above the target
@@ -375,4 +513,6 @@ def build_amg(
         coarse_inv=coarse_inv,
         nu=nu,
         omegas=tuple(omega / r for r in rhos),
+        p_apply=tuple(p_apply),
+        pt_apply=tuple(pt_apply),
     )

@@ -120,52 +120,68 @@ def plan_windows_from_cols(
     cols[:n] = cols_in
     cols[n:] = pad_target
     blk = cols.reshape(nb, R * W)
+    rg = (blk >> 7).astype(np.int32)  # (nb, M) row-group of each entry
 
-    # sorted row-groups (col // 128) per block; gaps drive the clustering
-    srt = np.sort(blk // LANE, axis=1).astype(np.int32)  # (nb, M)
-    M = srt.shape[1]
-    d = np.diff(srt, axis=1)
+    kmax = max(s - 1 for s in slot_candidates)
+    if kmax == 0:
+        # single-window only: min/max suffice, skip the sort entirely
+        starts = rg.min(axis=1, keepdims=True).astype(np.int32)
+        spans = (rg.max(axis=1, keepdims=True) - starts + 1).astype(np.int32)
+        gap_vals = np.zeros((nb, 0), np.int32)
+        gap_lo = np.zeros((nb, 0), np.int32)
+    else:
+        # one sort + one argpartition serves every candidate S: the top-k
+        # gaps of the sorted row-groups, ordered by decreasing gap size
+        srt = np.sort(rg, axis=1)
+        M = srt.shape[1]
+        d = np.diff(srt, axis=1)
+        k = min(kmax, M - 1)
+        gi = np.argpartition(d, -k, axis=1)[:, -k:]  # (nb, k) positions
+        gsz = np.take_along_axis(d, gi, axis=1)
+        by_size = np.argsort(-gsz, axis=1, kind="stable")
+        gi = np.take_along_axis(gi, by_size, axis=1)
+        # gap j splits between values gap_lo[j] and gap_hi[j]
+        b_idx = np.arange(nb)[:, None]
+        gap_lo = srt[b_idx, gi]  # last value before the gap
+        gap_hi = srt[b_idx, gi + 1]  # first value after the gap
+        starts = srt[:, :1]
+        ends = srt[:, -1:]
 
     def layout_for(S):
-        """(slot_rows list, starts (nb,S), ends (nb,S)) or None."""
-        if S == 1:
-            starts = srt[:, :1].astype(np.int64)
-            spans = (srt[:, -1] - srt[:, 0] + 1).astype(np.int64)[:, None]
+        """slot boundaries using the S-1 largest gaps; None if too big."""
+        if kmax == 0 or S == 1:
+            st = starts
+            sp = spans if kmax == 0 else (ends - starts + 1)
         else:
-            k = min(S - 1, M - 1)
-            gi = np.argpartition(d, -k, axis=1)[:, -k:]
-            gi = np.sort(gi, axis=1)  # (nb, k) split positions
-            b_idx = np.arange(nb)[:, None]
-            seg_start = np.concatenate(
-                [np.zeros((nb, 1), np.int64), gi + 1], axis=1
-            )  # (nb, k+1) indices into srt
-            seg_end = np.concatenate(
-                [gi, np.full((nb, 1), M - 1, np.int64)], axis=1
-            )
-            starts = srt[b_idx, seg_start].astype(np.int64)
-            spans = (srt[b_idx, seg_end] - starts + 1).astype(np.int64)
-            if k + 1 < S:  # pad unused slots with empty clusters
-                pad = S - (k + 1)
-                starts = np.concatenate(
-                    [starts, np.repeat(starts[:, :1], pad, axis=1)], axis=1
+            kk = min(S - 1, gap_lo.shape[1])
+            # cluster boundaries: sort the chosen gaps by position
+            glo = np.sort(gap_lo[:, :kk], axis=1)  # (nb, kk)
+            ghi = np.sort(gap_hi[:, :kk], axis=1)
+            st = np.concatenate([starts, ghi], axis=1)  # (nb, kk+1)
+            en = np.concatenate([glo, ends], axis=1)
+            sp = en - st + 1
+            if kk + 1 < S:
+                pad = S - (kk + 1)
+                st = np.concatenate(
+                    [st, np.repeat(st[:, :1], pad, axis=1)], axis=1
                 )
-                spans = np.concatenate(
-                    [spans, np.zeros((nb, pad), np.int64)], axis=1
+                sp = np.concatenate(
+                    [sp, np.zeros((nb, pad), sp.dtype)], axis=1
                 )
             # assign clusters to slots largest-first so the static per-slot
             # heights (max over blocks) stay tight
-            ordr = np.argsort(-spans, axis=1, kind="stable")
-            starts = np.take_along_axis(starts, ordr, axis=1)
-            spans = np.take_along_axis(spans, ordr, axis=1)
+            ordr = np.argsort(-sp, axis=1, kind="stable")
+            st = np.take_along_axis(st, ordr, axis=1)
+            sp = np.take_along_axis(sp, ordr, axis=1)
         # static slot heights, rounded to full (8,128) f32 tiles (a
         # non-multiple-of-8 sublane count in the DMA faults on v5e)
         slot_rows = [
-            max(8, int(-(-int(spans[:, s].max()) // 8) * 8))
-            for s in range(starts.shape[1])
+            max(8, int(-(-int(sp[:, s].max()) // 8) * 8))
+            for s in range(st.shape[1])
         ]
         if sum(slot_rows) * LANE > max_window:
             return None
-        return slot_rows, starts, spans
+        return slot_rows, st, sp
 
     best = None
     for S in slot_candidates:
@@ -177,27 +193,32 @@ def plan_windows_from_cols(
             best = (total, out)
     if best is None:
         return None
-    slot_rows, starts, spans = best[1]
+    slot_rows, starts_b, spans_b = best[1]
     S = len(slot_rows)
-    off = np.concatenate([[0], np.cumsum(slot_rows)])
+    off = np.concatenate([[0], np.cumsum(slot_rows)]).astype(np.int32)
 
-    # map every entry to (slot, virtual index)
-    rg = (blk >> 7).astype(np.int64)  # (nb, M) row-group of each entry
-    lane = (blk & (LANE - 1)).astype(np.int64)
-    virt = np.full(blk.shape, -1, np.int64)
+    # map every entry to (slot, virtual index); all int32 in-place ops —
+    # this runs on (nb, R·W) arrays that reach ~300M entries at 10M nodes
+    lane = (blk & (LANE - 1)).astype(np.int32)
+    virt = np.full(blk.shape, -1, np.int32)
     for s in range(S):
-        lo_s = starts[:, s : s + 1]
-        in_s = (rg >= lo_s) & (rg < lo_s + spans[:, s : s + 1]) & (virt < 0)
-        virt = np.where(in_s, (off[s] + rg - lo_s) * LANE + lane, virt)
+        lo_s = starts_b[:, s : s + 1].astype(np.int32)
+        in_s = (rg >= lo_s) & (rg < lo_s + spans_b[:, s : s + 1])
+        in_s &= virt < 0
+        virt = np.where(
+            in_s, (off[s] + rg - lo_s) * LANE + lane, virt
+        )
     assert virt.min() >= 0, "multi-window planner missed an entry"
 
     G = R * W // LANE
-    need_rows = int((starts + np.asarray(slot_rows)[None, :]).max())
+    need_rows = int(
+        (starts_b.astype(np.int64) + np.asarray(slot_rows)[None, :]).max()
+    )
     return WindowPlan(
         n_nodes=n, width=W, block_rows=R,
         window=int(off[-1]) * LANE, n_blocks=nb,
-        lo=starts.astype(np.int32),
-        lcols=virt.reshape(nb, G, LANE).astype(np.int32),
+        lo=starts_b.astype(np.int32),
+        lcols=virt.reshape(nb, G, LANE),
         slot_rows=tuple(slot_rows), need_rows=need_rows, order=None,
     )
 
@@ -290,7 +311,196 @@ def _products(vals_tiled, lcols, lo, x, key):
         _make_kernel(G, slot_rows),
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
         grid_spec=grid_spec,
+        # the unrolled window sweep allocates fresh Mosaic stack per step
+        # (~G·128·4B each): the fine-mesh kernel's frame is ~13MB, barely
+        # under the 16MB default; match the plane kernels' proven 48MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
     )(lo, vals_tiled, lcols, x)
+
+
+def _adaptive_block_rows(W: int, target_g: int = 128, cap: int = 2048) -> int:
+    """Largest R ≤ cap with R·W ≡ 0 (mod 128) and G = R·W/128 ≲ target_g.
+
+    Keeps every window kernel's vreg footprint in the measured-safe band:
+    G=156 (the fine SpMV) compiles and runs, G=544 OOM'd the Mosaic stack
+    on v5e ("scoped allocation 118M > 16M limit").
+    """
+    import math
+
+    base = 128 // math.gcd(W, 128)
+    r = (target_g * 128 // max(W, 1)) // base * base
+    return int(max(base, min(cap, r)))
+
+
+class PlannedGather:
+    """Reusable ``y[r] = Σ_w weights[r,w] · table[cols[r,w]]`` operator.
+
+    The window-kernel form of a fixed gather+reduce (AMG prolongation /
+    restriction and coarse-level SpMVs, solver/amg.py).  Plan index arrays
+    and the pre-tiled weights ride as pytree DATA so jit traces see runtime
+    buffers, not HLO literals (closure capture overflows remote-compile at
+    1M+ rows).  Construct with ``PlannedGather.build(...)`` — returns None
+    when no window plan exists (caller falls back to the XLA gather).
+
+    Rows wider than ``wcap`` are SPLIT into ≤wcap-wide subrows reduced by
+    a second (tiny) planned gather — a wide ELL (e.g. the restriction
+    P^T whose width is the max aggregate size, 136 on the 300k sphere_cut)
+    would otherwise force a G=R·W/128≈544 kernel that overflows the Mosaic
+    stack; the split keeps both stages near G=128 and drops the ELL
+    padding waste.
+    """
+
+    def __init__(self, vals_tiled, lcols, lo, key, n_rows, width, need_rows):
+        self.vals_tiled = vals_tiled
+        self.lcols = lcols
+        self.lo = lo
+        self.key = key  # (G, slot_rows, nb) — static
+        self.n_rows = n_rows
+        self.width = width
+        self.need_rows = need_rows
+
+    @staticmethod
+    def build(cols: np.ndarray, weights: np.ndarray,
+              block_rows: int | None = None,
+              max_window: int = 128 * 1024, wcap: int = 16):
+        """cols/weights (n, W); zero-weight entries are padding, and their
+        column is replaced by a window-friendly nearby real column."""
+        n, W = cols.shape
+        w_np = np.asarray(weights, np.float32)
+        real = w_np != 0.0
+        deg = real.sum(axis=1).astype(np.int64)
+        if wcap and int(deg.max(initial=0)) > wcap:
+            return _build_split(cols, w_np, real, deg, block_rows,
+                                max_window, wcap)
+        if block_rows is None:
+            block_rows = _adaptive_block_rows(W)
+        cols = np.asarray(cols, np.int64).copy()
+        # pad columns -> the row's first real column; empty rows forward-
+        # fill from the nearest non-empty row so they never widen a window
+        first = np.where(real.any(axis=1), cols[np.arange(n),
+                         real.argmax(axis=1)], -1)
+        idx = np.where(first >= 0, np.arange(n), -1)
+        np.maximum.accumulate(idx, out=idx)
+        if idx[0] < 0:
+            nz = np.flatnonzero(first >= 0)
+            if not len(nz):
+                return None
+            idx[idx < 0] = nz[0]
+        fill = first[idx]
+        cols = np.where(real, cols, fill[:, None])
+        plan = plan_windows_from_cols(
+            cols.astype(np.int32), pad_target=int(fill[-1]),
+            block_rows=block_rows, max_window=max_window,
+        )
+        if plan is None:
+            return None
+        nb, R = plan.n_blocks, plan.block_rows
+        G = R * W // LANE
+        wt = w_np
+        if nb * R != n:
+            wt = np.concatenate([wt, np.zeros((nb * R - n, W), np.float32)])
+        return PlannedGather(
+            vals_tiled=jnp.asarray(wt.reshape(nb, G, LANE)),
+            lcols=jnp.asarray(plan.lcols),
+            lo=jnp.asarray(plan.lo),
+            key=(G, plan.slot_rows, nb),
+            n_rows=n, width=W, need_rows=plan.need_rows,
+        )
+
+    def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
+        G, slot_rows, nb = self.key
+        R = G * LANE // self.width
+        tp = table.astype(jnp.float32)
+        need = self.need_rows * LANE
+        n_t = -(-max(tp.shape[0], need) // LANE) * LANE
+        tp = jnp.pad(tp, (0, n_t - tp.shape[0])).reshape(n_t // LANE, LANE)
+        prods = _products(self.vals_tiled, self.lcols, self.lo, tp, self.key)
+        out = prods.reshape(nb * R, self.width).sum(axis=1)[: self.n_rows]
+        return out.astype(table.dtype)
+
+
+def _planned_gather_flatten(g):
+    return (
+        (g.vals_tiled, g.lcols, g.lo),
+        (g.key, g.n_rows, g.width, g.need_rows),
+    )
+
+
+def _planned_gather_unflatten(meta, data):
+    return PlannedGather(data[0], data[1], data[2], *meta)
+
+
+jax.tree_util.register_pytree_node(
+    PlannedGather, _planned_gather_flatten, _planned_gather_unflatten
+)
+
+
+class ChainedGather:
+    """Two-stage planned gather: wide rows split into ≤wcap subrows.
+
+    stage1 computes the subrow partial sums (one window kernel over the
+    original table); stage2 sums each row's subrows (a second, tiny window
+    kernel whose indices are consecutive subrow ids — near-perfect
+    windows).  Exactly equivalent to the unsplit gather up to f32 sum
+    association."""
+
+    def __init__(self, stage1: PlannedGather, stage2: PlannedGather,
+                 n_rows: int):
+        self.stage1 = stage1
+        self.stage2 = stage2
+        self.n_rows = n_rows
+
+    def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
+        return self.stage2(self.stage1(table))
+
+
+jax.tree_util.register_pytree_node(
+    ChainedGather,
+    lambda g: ((g.stage1, g.stage2), (g.n_rows,)),
+    lambda meta, data: ChainedGather(data[0], data[1], meta[0]),
+)
+
+
+def _build_split(cols, w_np, real, deg, block_rows, max_window, wcap):
+    """Split rows with >wcap real entries into subrows; see PlannedGather."""
+    n, _ = cols.shape
+    cols = np.asarray(cols, np.int64)
+    # row-major compaction of the real entries
+    rows = np.repeat(np.arange(n), deg)
+    ccols = cols[real]
+    cvals = w_np[real]
+    nsub = np.maximum(1, -(-deg // wcap))
+    total = int(nsub.sum())
+    sub_start = np.concatenate([[0], np.cumsum(nsub)])
+    ent_start = np.concatenate([[0], np.cumsum(deg)])
+    pos = np.arange(len(rows)) - np.repeat(ent_start[:-1], deg)
+    sub_idx = (np.repeat(sub_start[:-1], deg) + pos // wcap).astype(np.int64)
+    slot = (pos % wcap).astype(np.int64)
+    s_cols = np.zeros((total, wcap), np.int64)
+    s_w = np.zeros((total, wcap), np.float32)
+    s_cols[sub_idx, slot] = ccols
+    s_w[sub_idx, slot] = cvals
+    # zero-weight REAL entries would be dropped by the stage-1 pad logic;
+    # nudge them to a tiny non-zero so the linear map stays exact enough
+    # is unnecessary: a zero weight contributes zero either way.
+    stage1 = PlannedGather.build(s_cols, s_w, block_rows, max_window,
+                                 wcap=0)
+    if stage1 is None:
+        return None
+    W2 = int(nsub.max())
+    o_cols = np.zeros((n, W2), np.int64)
+    o_w = np.zeros((n, W2), np.float32)
+    r2 = np.repeat(np.arange(n), nsub)
+    p2 = np.arange(total) - np.repeat(sub_start[:-1], nsub)
+    o_cols[r2, p2] = np.arange(total)
+    o_w[r2, p2] = 1.0
+    stage2 = PlannedGather.build(o_cols, o_w, block_rows, max_window,
+                                 wcap=0)
+    if stage2 is None:
+        return None
+    return ChainedGather(stage1, stage2, n)
 
 
 def _cached_spmv(topo):

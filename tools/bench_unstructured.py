@@ -104,17 +104,19 @@ def main():
     coords = jnp.asarray(mesh.coords.astype(np.float32))
     conn = jnp.asarray(mesh.cells["tetra4"])
 
+    # slot_map rides as a jit ARGUMENT: closure capture turns the 28M-entry
+    # map into an HLO literal, which cost a 466 s remote compile
+    slot_map = jnp.asarray(topo.slot_maps["tetra4"].reshape(-1))
+
     @jax.jit
-    def assemble():
-        ke = elements.stiffness_tetra4(coords[conn])
+    def assemble(c, cn, sm):
+        ke = elements.stiffness_tetra4(c[cn])
         return jax.ops.segment_sum(
-            ke.reshape(-1),
-            jnp.asarray(topo.slot_maps["tetra4"].reshape(-1)),
-            num_segments=topo.n_slots,
+            ke.reshape(-1), sm, num_segments=topo.n_slots
         ).reshape(topo.n_nodes, topo.width)
 
     t0 = time.time()
-    vals = assemble()
+    vals = assemble(coords, conn, slot_map)
     vals.block_until_ready()
     print(f"[assemble] segment-sum {time.time()-t0:.1f}s (incl compile)",
           flush=True)
@@ -166,15 +168,23 @@ def run_solve(mesh, topo):
     """Full Poisson Dirichlet solve with AMG-PCG, timed."""
     from arcanefem_tpu.fem.bcs import BoundaryConditions, DirichletBC
     from arcanefem_tpu.models import poisson
+    from arcanefem_tpu.solver.linear_system import SolverOptions
 
     bcs = BoundaryConditions(
         dirichlet=[DirichletBC("Cut", 0.0), DirichletBC("sphere", 1.0)]
     )
-    cfg = poisson.PoissonConfig(f=1.0, bcs=bcs)
+    cfg = poisson.PoissonConfig(
+        f=1.0, bcs=bcs,
+        solver=SolverOptions(rtol=1e-8, preconditioner="amg", spmv="pallas"),
+    )
     t0 = time.time()
     r = poisson.solve(mesh, cfg)
-    print(f"[solve] total {time.time()-t0:.1f}s iters={r.iterations}",
-          flush=True)
+    t_first = time.time() - t0
+    t0 = time.time()
+    r = poisson.solve(mesh, cfg)
+    t_second = time.time() - t0
+    print(f"[solve] first {t_first:.1f}s warm {t_second:.1f}s "
+          f"iters={r.iterations}", flush=True)
 
 
 if __name__ == "__main__":
