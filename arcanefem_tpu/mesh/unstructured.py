@@ -82,12 +82,20 @@ def sphere_cut_points(h: float, seed: int = 0) -> np.ndarray:
     """Quasi-uniform point cloud for the sphere_cut domain, spacing ~h."""
     rng = np.random.default_rng(seed)
 
-    # interior: jittered grid
-    n = int(2 * RADIUS / h)
+    # interior: jittered BCC lattice.  A jittered CUBIC grid Delaunay is
+    # sliver-prone (cubic lattices are degenerately co-spherical; the
+    # jitter resolves ties into near-flat tets — measured q1% 0.026 on the
+    # refined 300k mesh, driving AMG-PCG to 71 iterations).  The BCC
+    # lattice's Delaunay is the high-quality disphenoid mesh; 10% jitter
+    # keeps the connectivity genuinely irregular with q1% ~0.07 and ~20
+    # iterations.  Cell size a = 2^(1/3)·h matches the cubic-grid density.
+    a = 2.0 ** (1.0 / 3.0) * h
+    n = int(2 * RADIUS / a)
     u = np.linspace(-RADIUS, RADIUS, n + 1)
     X, Y, Z = np.meshgrid(u, u, u, indexing="ij")
-    pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
-    pts += rng.uniform(-0.3 * h, 0.3 * h, pts.shape)
+    g1 = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+    pts = np.concatenate([g1, g1 + 0.5 * a])
+    pts += rng.uniform(-0.10 * a, 0.10 * a, pts.shape)
     interior = pts[_inside(pts, 0.6 * h)]
 
     # sphere surface (minus the cut octant)
@@ -179,17 +187,22 @@ def sphere_cut_tetra_mesh(h: float, seed: int = 0) -> Mesh:
 #   e0=(0,1) e1=(1,2) e2=(0,2) e3=(0,3) e4=(2,3) e5=(1,3)
 _TET_EDGES = [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]
 # corners 0..3 -> local ids 0..3, edge k -> local id 4+k
-_TET_CHILDREN = [
+_TET_CORNER_CHILDREN = [
     (0, 4, 6, 7),  # corner 0
     (4, 1, 5, 9),  # corner 1
     (6, 5, 2, 8),  # corner 2
     (7, 9, 8, 3),  # corner 3
-    # interior octahedron split along the (e0,e4) = (4,8) diagonal
-    (4, 5, 6, 8),
-    (4, 5, 8, 9),
-    (4, 6, 7, 8),
-    (4, 7, 9, 8),
 ]
+# interior octahedron (vertices a..f = midpoints 4..9; opposite pairs are
+# the diagonals (4,8), (5,7), (6,9)): split into 4 tets around ONE
+# diagonal.  The diagonal is chosen per tet as the SHORTEST (standard
+# quality-preserving red refinement — a fixed diagonal squares the worst
+# aspect ratio under repeated refinement).
+_TET_OCTA_CHILDREN = {
+    0: [(4, 5, 6, 8), (4, 6, 7, 8), (4, 7, 9, 8), (4, 9, 5, 8)],  # diag 4-8
+    1: [(5, 4, 6, 7), (5, 6, 8, 7), (5, 8, 9, 7), (5, 9, 4, 7)],  # diag 5-7
+    2: [(6, 4, 5, 9), (6, 5, 8, 9), (6, 8, 7, 9), (6, 7, 4, 9)],  # diag 6-9
+}
 _TRI_EDGES = [(0, 1), (1, 2), (2, 0)]
 _TRI_CHILDREN = [(0, 3, 5), (3, 1, 4), (5, 4, 2), (3, 4, 5)]
 
@@ -214,9 +227,35 @@ def refine_tetra(mesh: Mesh) -> Mesh:
     loc = np.concatenate(
         [conn, mid[inv].reshape(len(conn), 6)], axis=1
     )  # (nc, 10): corners + edge midpoints
+    corner_children = np.concatenate(
+        [loc[:, list(ch)] for ch in _TET_CORNER_CHILDREN], axis=0
+    )
+    # per-tet shortest octahedron diagonal
+    mc = coords[loc[:, 4:]]  # (nc, 6, 3) midpoint coords
+    dlen = np.stack(
+        [
+            np.linalg.norm(mc[:, 0] - mc[:, 4], axis=1),  # 4-8
+            np.linalg.norm(mc[:, 1] - mc[:, 3], axis=1),  # 5-7
+            np.linalg.norm(mc[:, 2] - mc[:, 5], axis=1),  # 6-9
+        ],
+        axis=1,
+    )
+    case = np.argmin(dlen, axis=1)
+    octa_children = np.empty((len(conn), 4, 4), np.int64)
+    for c, tpl in _TET_OCTA_CHILDREN.items():
+        m = case == c
+        octa_children[m] = loc[m][:, np.asarray(tpl)]
     children = np.concatenate(
-        [loc[:, list(ch)] for ch in _TET_CHILDREN], axis=0
+        [corner_children, octa_children.transpose(1, 0, 2).reshape(-1, 4)],
+        axis=0,
     ).astype(np.int32)
+    # orient positively (octa templates are orientation-agnostic)
+    pc = coords[children]
+    vv = pc[:, 1:] - pc[:, :1]
+    neg = np.einsum("ij,ij->i", np.cross(vv[:, 0], vv[:, 1]), vv[:, 2]) < 0
+    children[neg, 0], children[neg, 1] = (
+        children[neg, 1], children[neg, 0].copy()
+    )
 
     # refine boundary face groups: midpoints already exist (face edges are
     # tet edges); locate them through the same unique-edge table

@@ -250,7 +250,20 @@ def build_amg(
     become singleton aggregates (the strength filter isolates their huge
     diagonals) and are handled exactly by the Jacobi smoother.
     """
+    import os
+    import time as _time
+
     import scipy.sparse as sp
+
+    _verbose = os.environ.get("AFEM_AMG_VERBOSE") == "1"
+    _t0 = _time.time()
+
+    def _mark(label):
+        nonlocal _t0
+        if _verbose:
+            t = _time.time()
+            print(f"[amg] {label}: {t - _t0:.1f}s", flush=True)
+            _t0 = t
 
     topo = A.topo
     b = A.block
@@ -414,6 +427,7 @@ def build_amg(
         mats.append(cur)
         Ps.append(P)
         cur = nxt
+        _mark(f"level {len(mats)-1} ({n}->{cur.shape[0]} dofs)")
 
     pallas_ok = use_pallas and jax.devices()[0].platform == "tpu"
 
@@ -450,6 +464,7 @@ def build_amg(
         # window-plannable); tiny levels stay on XLA to limit the number
         # of distinct pallas kernels per program (remote-compile cost)
         bm = to_bell(M, pallas_ok and M.shape[0] >= 8192)
+        _mark(f"to_bell[{li}] (n={M.shape[0]})")
         # inverse diagonal on the HOST: each tiny device op here costs a
         # separate remote compile through the axon tunnel (~10-60 s each;
         # these alone pushed 300k-node setup to ~8 min)
@@ -490,6 +505,7 @@ def build_amg(
             gt = PlannedGather.build(np.asarray(tc), np.asarray(tv))
         p_apply.append(ga)
         pt_apply.append(gt)
+        _mark(f"transfers[{len(p_apply)-1}]")
 
     if cur.shape[0] > 8 * coarse_size * b:
         # aggregation stalled (or max_levels hit early) far above the target

@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def load_mesh(h: float, refine: int, cache_dir="/tmp/afem_meshes"):
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"sphere_cut_h{h:g}_r{refine}"
+    tag = f"sphere_cut_v2_h{h:g}_r{refine}"  # v2: BCC lattice + adaptive-diagonal refinement
     path = os.path.join(cache_dir, tag + ".npz")
     from arcanefem_tpu.mesh.core import Mesh
 
