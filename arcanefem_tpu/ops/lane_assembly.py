@@ -1,0 +1,133 @@
+"""Lane-major tetra assembly — TPU-layout element kernels at scale.
+
+The element-centric layouts of ops/elements.py ((nc, npc, dim) tensors)
+are fine at case-study sizes but catastrophic at benchmark scale: TPU
+tiles the trailing two axes to (8, 128), so an f32[3, 12.2M, 4]
+intermediate pads to 18.7 GB (measured OOM at 2.1M nodes).  Here the CELL
+axis is the last (lane) axis everywhere: every intermediate is a (k, nc)
+stack of perfectly-tiled vectors, and the whole element computation is one
+fused elementwise pass at HBM bandwidth.
+
+Corner coordinates are fetched with the window-planned gather
+(sparse/pallas_spmv.PlannedGather) — cells are sorted by min node
+(utils/ordering.renumber_mesh), so conn columns are near-monotone and the
+gather runs at window-kernel speed instead of XLA's ~0.11 Gelem/s.
+
+Role reference: the CUDA BSR assembly kernels, BSRFormat.h:842-898.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.topology import Topology
+
+
+class TetraLaneAssembler:
+    """Assemble the P1 tetra stiffness into BELL (n, W) values.
+
+    asm = TetraLaneAssembler(topo, mesh); vals = asm(coords)  # (n, W)
+
+    coords: (n, 3) f32 device array.  The gather plan and the transposed
+    slot map are built once on the host and ride as pytree-style device
+    buffers passed per call (no HLO literals).
+    """
+
+    def __init__(self, topo: Topology, conn: np.ndarray):
+        self.topo = topo
+        nc = conn.shape[0]
+        self.n_cells = nc
+        self.gather = None
+        if jax.devices()[0].platform == "tpu":
+            from ..sparse.pallas_spmv import PlannedGather
+
+            cols = np.asarray(conn, np.int64).reshape(-1, 1)  # (4nc, 1)
+            self.gather = PlannedGather.build(
+                cols, np.ones((4 * nc, 1), np.float32), wcap=0
+            )
+        # lane-major entry order: e = (i*4+j)*nc + c
+        sm = np.asarray(topo.slot_maps["tetra4"])  # (nc, 16), cell-major
+        self.slot_map_t = jnp.asarray(
+            np.ascontiguousarray(sm.T).reshape(-1)
+        )
+        self.conn_dev = jnp.asarray(np.asarray(conn, np.int32).T)  # (4, nc)
+
+    @property
+    def available(self) -> bool:
+        return True
+
+    def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
+        return lane_assemble(self, coords)
+
+
+def _assemble_impl(coords, conn_dev, slot_map_t, gather, nc, n, W, n_slots):
+    if gather is not None:
+        xg = gather(coords[:, 0]).reshape(nc, 4).T
+        yg = gather(coords[:, 1]).reshape(nc, 4).T
+        zg = gather(coords[:, 2]).reshape(nc, 4).T
+    else:
+        xg = coords[:, 0][conn_dev]
+        yg = coords[:, 1][conn_dev]
+        zg = coords[:, 2][conn_dev]
+    x = [xg[i] for i in range(4)]
+    y = [yg[i] for i in range(4)]
+    z = [zg[i] for i in range(4)]
+
+    # 6V = (p1-p0) . (p2-p0) x (p3-p0)
+    ax, ay, az = x[1] - x[0], y[1] - y[0], z[1] - z[0]
+    bx, by, bz = x[2] - x[0], y[2] - y[0], z[2] - z[0]
+    cx, cy, cz = x[3] - x[0], y[3] - y[0], z[3] - z[0]
+    v6 = ax * (by * cz - bz * cy) + ay * (bz * cx - bx * cz) + az * (
+        bx * cy - by * cx
+    )
+    v6a = jnp.abs(v6)
+    inv = 1.0 / v6a
+
+    def comp(u, w):
+        # cofactor rows (ArcaneFemFunctions.h:690-816 pattern)
+        return [
+            u[1] * (w[3] - w[2]) + u[2] * (w[1] - w[3]) + u[3] * (w[2] - w[1]),
+            u[0] * (w[2] - w[3]) + u[2] * (w[3] - w[0]) + u[3] * (w[0] - w[2]),
+            u[0] * (w[3] - w[1]) + u[1] * (w[0] - w[3]) + u[3] * (w[1] - w[0]),
+            u[0] * (w[1] - w[2]) + u[1] * (w[2] - w[0]) + u[2] * (w[0] - w[1]),
+        ]
+
+    dx = comp(y, z)
+    dy = comp(z, x)
+    dz = comp(x, y)
+    # ke_ij = V * (dx_i dx_j + dy_i dy_j + dz_i dz_j) / (6V)^2; V = |6V|/6
+    scale = inv / 6.0  # |6V| / 6 / |6V|^2
+    ke = jnp.stack(
+        [
+            (dx[i] * dx[j] + dy[i] * dy[j] + dz[i] * dz[j]) * scale
+            for i in range(4)
+            for j in range(4)
+        ]
+    )  # (16, nc)
+    vals = jax.ops.segment_sum(
+        ke.reshape(-1), slot_map_t, num_segments=n_slots
+    )
+    return vals.reshape(n, W)
+
+
+def _lane_assemble_jit():
+    return jax.jit(
+        _assemble_impl, static_argnames=("nc", "n", "W", "n_slots")
+    )
+
+
+_jitted = None
+
+
+def lane_assemble(asm: TetraLaneAssembler, coords: jnp.ndarray):
+    global _jitted
+    if _jitted is None:
+        _jitted = _lane_assemble_jit()
+    t = asm.topo
+    return _jitted(
+        coords.astype(jnp.float32), asm.conn_dev, asm.slot_map_t,
+        asm.gather, nc=asm.n_cells, n=t.n_nodes, W=t.width,
+        n_slots=t.n_slots,
+    )

@@ -459,11 +459,11 @@ def build_amg(
 
     bell_mats = []
     for li, M in enumerate(mats):
-        # Pallas window SpMV at every level big enough for XLA's gather to
-        # hurt (first-member aggregate relabeling keeps coarse levels
-        # window-plannable); tiny levels stay on XLA to limit the number
-        # of distinct pallas kernels per program (remote-compile cost)
-        bm = to_bell(M, pallas_ok and M.shape[0] >= 8192)
+        # Pallas window SpMV at every level beyond trivial: XLA's ELL
+        # einsum costs ~5.7ms even at 4k rows x W=225 (measured, v5e) —
+        # MORE than the 270k-row fine level's split window kernel (4.5ms);
+        # only sub-1500-row levels stay on XLA
+        bm = to_bell(M, pallas_ok and M.shape[0] >= 1500)
         _mark(f"to_bell[{li}] (n={M.shape[0]})")
         # inverse diagonal on the HOST: each tiny device op here costs a
         # separate remote compile through the axon tunnel (~10-60 s each;
@@ -500,7 +500,7 @@ def build_amg(
         ptcols.append(tc)
         ptvals.append(tv)
         ga = gt = None
-        if pallas_ok and P.shape[0] >= 8192:
+        if pallas_ok and P.shape[0] >= 1500:
             ga = PlannedGather.build(np.asarray(pc), np.asarray(pv))
             gt = PlannedGather.build(np.asarray(tc), np.asarray(tv))
         p_apply.append(ga)

@@ -234,6 +234,15 @@ def solve_finalized(
 
         A = as_pallas_matrix(A)
     M = precond if precond is not None else make_precond(A, options.preconditioner)
+    from .amg import AMGPrecond
+
+    if (isinstance(M, AMGPrecond) and M.mats
+            and hasattr(M.mats[0], "gather")):
+        # the AMG hierarchy's fine operator IS the finalized matrix, in
+        # split window-kernel form (fewer padded slots than the runtime-
+        # valued ELL kernel: 4.5 vs 6.7 ms/SpMV at 270k nodes) — use it
+        # for the Krylov A·p as well
+        A = M.mats[0]
     if x0 is None:
         x0 = jnp.zeros_like(b)
     use_precise = options.precise_dot and b.dtype == jnp.float32

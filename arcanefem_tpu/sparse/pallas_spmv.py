@@ -258,11 +258,10 @@ def _make_kernel(G: int, slot_rows: tuple):
     V = offs[-1] * LANE
 
     def body(lo_ref, vals_ref, lcols_ref, x_hbm, out_ref, win_ref, *sems):
-        b = pl.program_id(0)
         cps = []
         for s in range(S):
             cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(lo_ref[b, s], slot_rows[s]), :],
+                x_hbm.at[pl.ds(lo_ref[0, 0, s], slot_rows[s]), :],
                 win_ref.at[pl.ds(offs[s], slot_rows[s]), :],
                 sems[s],
             )
@@ -291,26 +290,32 @@ def _products(vals_tiled, lcols, lo, x, key):
     from jax.experimental.pallas import tpu as pltpu
 
     G, slot_rows, nb = key
+    S = len(slot_rows)
     V = sum(slot_rows) * LANE
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, G, LANE), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, LANE), lambda b, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, G, LANE), lambda b, s: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((V // LANE, LANE), jnp.float32)]
-        + [pltpu.SemaphoreType.DMA] * len(slot_rows),
-    )
+    lo = lo.reshape(nb, 1, S)
+    # lo rides as a PER-BLOCK (1, 1, S) SMEM operand — SMEM entries are
+    # padded to 64B each, so prefetching (or whole-array placing) all
+    # nb·S starts would need e.g. 1.5MB of the 1MB SMEM at nb=2982, S=8
+    # (measured compile failures at 2.1M nodes); the (nb, 1, S) shape
+    # keeps the blocked window's last two dims equal to the array's (the
+    # Mosaic tiling rule) at a constant 64·S bytes of SMEM
     return pl.pallas_call(
         _make_kernel(G, slot_rows),
         out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
-        grid_spec=grid_spec,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G, LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((V // LANE, LANE), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA] * S,
         # the unrolled window sweep allocates fresh Mosaic stack per step
         # (~G·128·4B each): the fine-mesh kernel's frame is ~13MB, barely
         # under the 16MB default; match the plane kernels' proven 48MB
@@ -320,12 +325,16 @@ def _products(vals_tiled, lcols, lo, x, key):
     )(lo, vals_tiled, lcols, x)
 
 
-def _adaptive_block_rows(W: int, target_g: int = 128, cap: int = 2048) -> int:
+def _adaptive_block_rows(W: int, target_g: int = 128,
+                         cap: int = 16384) -> int:
     """Largest R ≤ cap with R·W ≡ 0 (mod 128) and G = R·W/128 ≲ target_g.
 
     Keeps every window kernel's vreg footprint in the measured-safe band:
     G=156 (the fine SpMV) compiles and runs, G=544 OOM'd the Mosaic stack
-    on v5e ("scoped allocation 118M > 16M limit").
+    on v5e ("scoped allocation 118M > 16M limit").  The cap only binds for
+    W<8 plans (W=1 assembly-coordinate gathers: R=16384, G=128) — keeping
+    the block count low there also keeps the whole-array `lo` SMEM operand
+    small (nb·S·4B against the 1MB SMEM).
     """
     import math
 

@@ -1,15 +1,26 @@
-"""North-star benchmark: Poisson 3D at 10M DoF — assembly + CG to 1e-8.
+"""North-star benchmark: Poisson 3D — assembly + CG to 1e-8.
 
-Mirrors the reference's benchmark methodology (modules/testlab/benchmarking/
-run-benchmark.sh: cache-warmed assembly timing + solve phase) on the TPU
-fast path: structured Kuhn-tet box (jittered geometry, so element matrices
-are non-trivial), stencil DIA assembly (static slice-adds at HBM bandwidth)
-and Jacobi-PCG with compensated-f32 dot products to 1e-8 relative residual.
+Two measurements, mirroring the reference's benchmark methodology
+(modules/testlab/benchmarking/run-benchmark.sh: cache-warmed assembly
+timing + per-phase solve timers; BASELINE.md's sphere_cut recipe):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value = end-to-end seconds (assembly + solve) at the target size; smaller is
-better. The reference publishes no absolute numbers (BASELINE.md), so
-vs_baseline is null. Phase breakdown goes to stderr.
+1. PRIMARY — unstructured `sphere_cut` tetra mesh (the reference's own
+   north-star geometry, meshes/med/sphere_cut.py rebuilt as a BCC-lattice
+   filtered Delaunay + red refinement, mesh/unstructured.py): BELL
+   segment-sum assembly + SA-AMG-preconditioned CG (solver/amg.py, the
+   BoomerAMG role) with the Pallas window SpMV.  Default ~2.1M DoF
+   (BENCH_UNSTR_H / BENCH_UNSTR_REFINE scale it; h=6 refine=3 reaches
+   ~10M).  AMG setup (host, scipy) is timed separately — the analogue of
+   the reference's HypreSetup timer (HypreDoFLinearSystem.cc:730).
+2. SECONDARY — structured Kuhn-tet box at 11.4M DoF: stencil DIA
+   assembly (static slice-adds at HBM bandwidth) + geometric-MG PCG,
+   the fully-fused Pallas plane-kernel path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+value = end-to-end seconds (assembly + solve) of the PRIMARY metric;
+smaller is better.  extra carries the secondary metric + phase breakdown.
+The reference publishes no absolute numbers (BASELINE.md), so vs_baseline
+is null.  Phase breakdown goes to stderr.
 
 Timing notes: through the axon tunnel, block_until_ready is unreliable, so
 every measurement forces completion with a scalar host fetch and uses a
@@ -30,7 +41,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _setup_jax():
     import jax
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -39,6 +50,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    return jax
+
+
+def bench_structured() -> dict:
+    jax = _setup_jax()
 
     import jax.numpy as jnp
 
@@ -203,17 +219,205 @@ def main():
     assert float(res) <= rtol * 1.5, "CG did not converge to target"
     assert np.isfinite(s), "non-finite solution"
 
-    value = total
-    print(
-        json.dumps(
-            {
-                "metric": f"poisson3d_{box.n_nodes//1_000_000}MDoF_assembly+cg_to_{rtol:g}_s",
-                "value": round(value, 4),
-                "unit": "s",
-                "vs_baseline": None,
-            }
-        )
+    return {
+        "metric": f"poisson3d_box_{box.n_nodes//1_000_000}MDoF_assembly+cg_to_{rtol:g}_s",
+        "value": round(total, 4),
+        "assembly_mdofs": round(asm_mdofs, 1),
+        "iterations": iters,
+    }
+
+
+def bench_unstructured() -> dict:
+    """PRIMARY: sphere_cut tetra mesh, BELL assembly + AMG-PCG to 1e-8."""
+    jax = _setup_jax()
+
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.sparse.pallas_spmv import as_pallas_matrix
+    from arcanefem_tpu.sparse.topology import build_topology
+    from arcanefem_tpu.solver.amg import build_amg
+    from arcanefem_tpu.solver.iterative import pcg
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    h = float(os.environ.get("BENCH_UNSTR_H", "5" if on_tpu else "14"))
+    refine = int(os.environ.get("BENCH_UNSTR_REFINE", "2" if on_tpu else "0"))
+    rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    t0 = time.time()
+    mesh = _load_sphere_cut(h, refine)
+    log(f"[unstr] mesh {mesh.n_nodes:,} nodes / {mesh.n_cells:,} tets "
+        f"({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    topo = build_topology(mesh.n_nodes, mesh.cells)
+    log(f"[unstr] topology W={topo.width} nnz={topo.nnz:,} "
+        f"({time.time()-t0:.1f}s)")
+
+    from arcanefem_tpu.ops.lane_assembly import TetraLaneAssembler
+    from arcanefem_tpu.sparse.bell import BellMatrix
+
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    coords = jnp.asarray(mesh.coords.astype(jnp.float32))
+    conn = jnp.asarray(mesh.cells["tetra4"])
+    n, W = topo.n_nodes, topo.width
+
+    t0 = time.time()
+    asm = TetraLaneAssembler(topo, mesh.cells["tetra4"])
+    log(f"[unstr] assembler plan {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    vals = asm(coords)
+    _ = float(jnp.sum(vals))
+    log(f"[unstr] assembly compile+first {time.time()-t0:.1f}s")
+
+    def run_assembly(reps):
+        t0 = time.time()
+        for _ in range(reps):
+            v = asm(coords)
+        _ = float(jnp.sum(v))
+        return time.time() - t0
+
+    r1, r2 = (1, 3) if on_tpu else (1, 2)
+    t1 = min(run_assembly(r1) for _ in range(2))
+    t2 = min(run_assembly(r2) for _ in range(2))
+    asm_s = max((t2 - t1) / (r2 - r1), 1e-9)
+    asm_mdofs = n / asm_s / 1e6
+    log(f"[unstr] assembly {asm_s*1e3:.1f} ms -> {asm_mdofs:.1f} MDoF/s")
+
+    # BCs: Cut=0, sphere=1 via penalty; rhs f=1
+    penalty = 1.0e12 if on_tpu else 1.0e30
+    cut = np.unique(mesh.face_groups["Cut"]["tria3"])
+    sph = np.unique(mesh.face_groups["sphere"]["tria3"])
+    mask = np.zeros(n, bool)
+    mask[cut] = True
+    mask[sph] = True
+    gv = np.zeros(n, np.float64)
+    gv[sph] = 1.0
+
+    # rhs on the host (numpy): the element-centric (nc,4,3) coordinate
+    # tensor would tile-pad to ~19GB on device at this size
+    pc = mesh.coords[mesh.cells["tetra4"]]
+    vv = pc[:, 1:] - pc[:, :1]
+    vols = np.abs(
+        np.einsum("ij,ij->i", np.cross(vv[:, 0], vv[:, 1]), vv[:, 2])
+    ) / 6.0
+    rhs_np = np.zeros(n, np.float64)
+    np.add.at(rhs_np, np.asarray(mesh.cells["tetra4"]).reshape(-1),
+              np.repeat(vols / 4.0, 4))
+    rhs_np = np.where(mask, penalty * gv, rhs_np)
+
+    vals_np = np.asarray(vals)
+    flat = vals_np.reshape(-1).copy()
+    flat[np.asarray(topo.diag_slot)[mask]] = penalty
+    A = BellMatrix(
+        values=jnp.asarray(flat.reshape(n, W, 1, 1).astype(dtype)),
+        topo=topo, block=1, cols=jnp.asarray(topo.ell_cols),
     )
+    b = jnp.asarray(rhs_np.astype(dtype))
+    x0 = jnp.asarray(np.where(mask, gv, 0.0).astype(dtype))
+
+    t0 = time.time()
+    M = build_amg(A)
+    setup_s = time.time() - t0
+    log(f"[unstr] AMG setup (host) {setup_s:.1f}s, "
+        f"levels={[m.topo.n_nodes for m in M.mats]}")
+
+    Ap = M.mats[0] if (M.mats and hasattr(M.mats[0], "gather")) \
+        else as_pallas_matrix(A)
+    t0 = time.time()
+    x, iters, res = pcg(Ap, b, M, x0, rtol, 0.0, 1000, use_precise_dot=True)
+    s = float(jnp.sum(x))
+    log(f"[unstr] solve compile+first {time.time()-t0:.1f}s")
+
+    def run_solve(reps):
+        t0 = time.time()
+        for _ in range(reps):
+            xx, k, r = pcg(Ap, b, M, x0, rtol, 0.0, 1000,
+                           use_precise_dot=True)
+        _ = float(jnp.sum(xx))
+        return time.time() - t0, k, r
+
+    t1, iters, res = min(run_solve(1) for _ in range(2))
+    t2, iters, res = min(run_solve(2) for _ in range(2))
+    solve_s = max(t2 - t1, 1e-9)
+    iters = int(iters)
+    log(f"[unstr] solve {solve_s:.3f}s ({iters} iters to {float(res):.1e}, "
+        f"{solve_s/max(iters,1)*1e3:.1f} ms/iter)")
+    assert float(res) <= rtol * 1.5, "AMG-PCG did not converge"
+    assert np.isfinite(s), "non-finite solution"
+
+    return {
+        "metric": (
+            f"poisson3d_sphere_cut_{n/1e6:.1f}MDoF_assembly+amgpcg_to_{rtol:g}_s"
+        ),
+        "value": round(asm_s + solve_s, 4),
+        "assembly_mdofs": round(asm_mdofs, 1),
+        "amg_setup_s": round(setup_s, 1),
+        "iterations": iters,
+    }
+
+
+def _load_sphere_cut(h: float, refine: int):
+    """Build (or load from /tmp cache) the RCM-ordered sphere_cut mesh."""
+    from arcanefem_tpu.mesh.core import Mesh
+    from arcanefem_tpu.mesh.unstructured import (
+        refine_tetra, sphere_cut_tetra_mesh,
+    )
+    from arcanefem_tpu.sparse.topology import build_topology
+    from arcanefem_tpu.utils.ordering import rcm_order, renumber_mesh
+
+    cache_dir = "/tmp/afem_meshes"
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"sphere_cut_v2_h{h:g}_r{refine}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return Mesh(
+            coords=z["coords"], node_uids=z["uids"],
+            cells={"tetra4": z["tets"]}, dim=3,
+            face_groups={
+                "Cut": {"tria3": z["cut"]},
+                "sphere": {"tria3": z["sphere"]},
+            },
+        )
+    mesh = sphere_cut_tetra_mesh(h=h)
+    for _ in range(refine):
+        mesh = refine_tetra(mesh)
+    topo = build_topology(mesh.n_nodes, mesh.cells)
+    perm = rcm_order(mesh.n_nodes, topo.row_ptr, topo.csr_cols)
+    mesh = renumber_mesh(mesh, perm)
+    np.savez(
+        path, coords=mesh.coords, uids=mesh.node_uids,
+        tets=mesh.cells["tetra4"],
+        cut=mesh.face_groups["Cut"]["tria3"],
+        sphere=mesh.face_groups["sphere"]["tria3"],
+    )
+    return mesh
+
+
+def main():
+    skip_unstr = os.environ.get("BENCH_UNSTR", "1") != "1"
+    skip_box = os.environ.get("BENCH_BOX", "1") != "1"
+
+    unstr = None if skip_unstr else bench_unstructured()
+    box = None if skip_box else bench_structured()
+
+    primary = unstr or box
+    extra = {k: v for k, v in primary.items() if k not in ("metric", "value")}
+    if unstr is not None and box is not None:
+        extra["secondary_metric"] = box["metric"]
+        extra["secondary_value"] = box["value"]
+        extra["secondary_assembly_mdofs"] = box["assembly_mdofs"]
+    out = {
+        "metric": primary["metric"],
+        "value": primary["value"],
+        "unit": "s",
+        "vs_baseline": None,
+        "extra": extra,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

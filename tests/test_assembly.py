@@ -98,3 +98,30 @@ def test_mass_matrix_total():
     # 1^T M 1 = domain area
     total = float(ones @ M.spmv(ones))
     assert np.isclose(total, 6.0)
+
+
+def test_lane_assembler_matches_elements_path():
+    """Lane-major tetra assembly == element-centric assembly (the
+    TPU-layout path used by the sphere_cut benchmark, ops/lane_assembly)."""
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.ops import elements
+    from arcanefem_tpu.ops.lane_assembly import TetraLaneAssembler
+    from arcanefem_tpu.sparse.topology import build_topology
+    import jax
+
+    mesh = box_tetra_mesh(6, 5, 4)
+    topo = build_topology(mesh.n_nodes, mesh.cells)
+    coords = jnp.asarray(mesh.coords.astype(np.float32))
+    conn = mesh.cells["tetra4"]
+
+    asm = TetraLaneAssembler(topo, conn)
+    got = np.asarray(asm(coords))
+
+    ke = elements.stiffness_tetra4(coords[jnp.asarray(conn)])
+    ref = np.asarray(jax.ops.segment_sum(
+        ke.reshape(-1), jnp.asarray(topo.slot_maps["tetra4"].reshape(-1)),
+        num_segments=topo.n_slots,
+    ).reshape(topo.n_nodes, topo.width))
+    np.testing.assert_allclose(got, ref, rtol=5e-6, atol=1e-6)

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--no-ops", action="store_true")
     ap.add_argument("--solve", action="store_true",
                     help="time the PCG solve with the prebuilt hierarchy")
+    ap.add_argument("--vcycle", action="store_true",
+                    help="time V-cycle / SpMV components in isolation")
+    ap.add_argument("--chain", action="store_true",
+                    help="per-op timing with dispatch amortized")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +101,77 @@ def main():
             dt = time.time() - t0
             print(f"[pcg] warm {dt:.2f}s ({dt/max(int(k),1)*1e3:.1f} ms/iter,"
                   f" {int(k)} iters)", flush=True)
+        return
+
+    if args.vcycle:
+        import jax as _jax
+
+        from arcanefem_tpu.sparse.pallas_spmv import as_pallas_matrix
+
+        Ap = as_pallas_matrix(A)
+        r0 = b / (1.0 + jnp.abs(b))
+
+        va = _jax.jit(M.apply)
+        fine = M.mats[0]
+        targets = [
+            ("vcycle", va, r0),
+            ("fine_planned_spmv", _jax.jit(fine.spmv), r0),
+            ("pcg_op_spmv", _jax.jit(Ap.spmv), r0),
+        ]
+        for name, f, arg in targets:
+            y = f(arg)
+            _ = float(jnp.sum(y))
+            t0 = time.time()
+            for _i in range(20):
+                y = f(arg)
+            _ = float(jnp.sum(y))
+            print(f"[{name}] {(time.time()-t0)/20*1e3:.2f} ms", flush=True)
+        return
+
+    if args.chain:
+        import jax as _jax
+        from functools import partial as _part
+
+        # dependent chain: y_{i+1} = op(r + eps*sum(y_i)) to defeat CSE
+        def chain_dep(op, n_in, k=8):
+            @_jax.jit
+            def f(r):
+                y = op(r)
+                for _ in range(k - 1):
+                    rr = r.at[:1].add(jnp.sum(y) * 1e-30)
+                    y = op(rr)
+                return y
+            return f
+
+        rng = np.random.RandomState(0)
+
+        def bench_op(name, op, n_in, k=8):
+            r = jnp.asarray(rng.rand(n_in).astype(np.float32))
+            f = chain_dep(op, n_in, k)
+            y = f(r)
+            _ = float(jnp.sum(y))
+            t0 = time.time()
+            for _ in range(5):
+                y = f(r)
+            _ = float(jnp.sum(y))
+            dt = (time.time() - t0) / 5 / k
+            print(f"[chain {name}] {dt*1e3:.2f} ms/op", flush=True)
+
+        fine = M.mats[0]
+        bench_op("fine.spmv", fine.spmv, fine.topo.n_nodes)
+        for l in range(len(M.ptcols)):
+            n_in = M.mats[l].topo.n_nodes
+            bench_op(f"pt[{l}]", lambda r, l=l: M._transfer_down(l, r), n_in)
+            nc = (M.mats[l + 1].topo.n_nodes if l + 1 < len(M.mats)
+                  else M.coarse_inv.shape[0])
+            bench_op(f"p[{l}]", lambda r, l=l: M._transfer_up(l, r), nc)
+        for l in range(1, len(M.mats)):
+            bench_op(f"mats[{l}].spmv", M.mats[l].spmv,
+                     M.mats[l].topo.n_nodes)
+        bench_op("coarse_inv", lambda r: M.coarse_inv @ r,
+                 M.coarse_inv.shape[0])
+        bench_op("smooth0_fine", lambda r: M._smooth0(0, r, M.nu),
+                 fine.topo.n_nodes)
         return
 
     if args.no_ops:
