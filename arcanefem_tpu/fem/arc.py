@@ -226,9 +226,14 @@ def parse_solver(fem: ET.Element) -> SolverOptions:
     if pc is not None:
         # Aleph preconditioner enum (AlephDoFLinearSystemFactory.axl):
         # diagonal|amg|ainv|ic|poly|ilu|ilup|none — amg maps onto the
-        # aggregation AMG, the rest onto their closest on-device kind
+        # aggregation AMG; poly and the triangular-solve/approximate-
+        # inverse kinds (ainv/ic/ilu/ilup) onto the Chebyshev polynomial
+        # preconditioner (solver/poly.py), the standard accelerator
+        # substitute since sequential triangular solves don't map to TPU
         opts.preconditioner = {
             "diagonal": "jacobi", "amg": "amg", "none": "none",
+            "poly": "poly", "ainv": "poly", "ic": "poly",
+            "ilu": "poly", "ilup": "poly",
         }.get(pc, "jacobi")
     method = opt_text(ls, "solver-method")
     if method == "gmres":

@@ -72,6 +72,13 @@ def make_precond(A: BellMatrix, name: str | None) -> "Precond | AMGPrecond":
         from .amg import build_amg
 
         return build_amg(A)
+    if name == "poly":
+        # Aleph poly/ainv/ic/ilu role (AlephDoFLinearSystemFactory.axl:
+        # 34-43): fixed-degree Chebyshev polynomial in D^{-1}A — the
+        # accelerator substitute for triangular-solve preconditioners
+        from .poly import build_chebyshev
+
+        return build_chebyshev(A)
     raise ValueError(f"unknown preconditioner '{name}'")
 
 
