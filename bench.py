@@ -44,6 +44,10 @@ def log(*a):
 def _setup_jax():
     import jax
 
+    if os.environ.get("BENCH_CPU") == "1":
+        # env-var platform selection is ignored once the axon TPU plugin
+        # registers; the config update is the reliable opt-out
+        jax.config.update("jax_platforms", "cpu")
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
@@ -397,7 +401,212 @@ def _load_sphere_cut(h: float, refine: int):
     return mesh
 
 
+def _sweep_child_devices(n_devices: int, box_n: int, reps: int) -> None:
+    """Child process: sharded Poisson solve on n virtual CPU devices.
+
+    The device-count axis of the reference's sweep (run-benchmark.sh:13-45,
+    MPI_N=(1 2 4 8)); correctness = partition invariance vs the model
+    solve, wall time per solve step is reported for the sweep table
+    (virtual CPU devices — structure, not absolute-perf, parity).
+    """
+    import jax
+
+    # must be set via config, not env: the axon TPU plugin registers
+    # itself regardless of JAX_PLATFORMS (see __graft_entry__.py bootstrap)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.fem.bcs import BoundaryConditions, DirichletBC
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.models.poisson import PoissonConfig
+    from arcanefem_tpu.models.poisson import solve as poisson_solve
+    from arcanefem_tpu.parallel.partition import build_sharded
+    from arcanefem_tpu.parallel.sharded import (
+        device_mesh, make_poisson_step, put_sharded, stacked_node_mask,
+    )
+
+    assert jax.device_count() >= n_devices, (
+        f"need {n_devices} devices, have {jax.device_count()}"
+    )
+    mesh = box_tetra_mesh(box_n, box_n, box_n)
+    sp = build_sharded(mesh, n_devices)
+    dmesh = device_mesh(n_devices)
+    arrs = put_sharded(sp, dmesh, dtype=jnp.float64)
+    xmin, xmax = mesh.group_nodes("xmin"), mesh.group_nodes("xmax")
+    nodes = np.concatenate([xmin, xmax])
+    vals = np.concatenate([np.zeros(len(xmin)), np.ones(len(xmax))])
+    mask, val = stacked_node_mask(sp, nodes, vals)
+    step = make_poisson_step(sp, dmesh, rtol=1e-10, max_iter=2000)
+
+    x, iters, res = step(arrs, 1.0, mask, val, 1.0e12)
+    got = sp.scatter_global(np.asarray(x))
+    ref = np.asarray(
+        poisson_solve(
+            mesh,
+            PoissonConfig(
+                f=1.0,
+                bcs=BoundaryConditions(dirichlet=[
+                    DirichletBC(surface="xmin", value=0.0),
+                    DirichletBC(surface="xmax", value=1.0),
+                ]),
+            ),
+            dtype=np.float64,
+        ).u
+    )
+    err = float(np.max(np.abs(got - ref) / (np.abs(ref).max() or 1.0)))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x, iters, res = step(arrs, 1.0, mask, val, 1.0e12)
+        _ = float(jnp.sum(x))
+        times.append(time.perf_counter() - t0)
+    print(json.dumps({
+        "devices": n_devices, "nodes": mesh.n_nodes,
+        "solve_s": round(min(times), 4), "iterations": int(iters),
+        "residual": float(res), "partition_rel_err": err,
+        # two independent PCG runs to rtol=1e-10 agree to ~the dryrun's
+        # f64 comparison tolerance, not to the rtol itself
+        "invariant": err < 1e-6,
+    }))
+
+
+def bench_sweep(argv: list[str]) -> None:
+    """`bench.py --sweep`: sizes x strategies x device counts.
+
+    Mirrors modules/testlab/benchmarking/run-benchmark.sh:13-45 (sizes
+    small/medium/large, CACHE_WARMING=5, MPI_N=(1 2 4 8)) and its
+    results.tsv/time_stats.json outputs.  Emits one JSON line per row to
+    stdout and a TSV table (--tsv, default bench_sweep.tsv).  On TPU the
+    headline bench configs run as the final rows, so the single-line
+    `python bench.py` number is reproduced from the sweep.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="bench.py --sweep")
+    p.add_argument("--sizes", default=None,
+                   help="comma list of box n (default platform-dependent)")
+    p.add_argument("--formats", default=None,
+                   help="comma list of assembly strategies (default: all)")
+    p.add_argument("--devices", default="1,2,4,8",
+                   help="virtual device counts for the sharded axis")
+    p.add_argument("--cache-warming", type=int, default=5)
+    p.add_argument("--tsv", default="bench_sweep.tsv")
+    p.add_argument("--no-headline", action="store_true",
+                   help="skip the headline unstructured/structured rows")
+    p.add_argument("--no-devices", action="store_true",
+                   help="skip the device-count axis")
+    args = p.parse_args(argv)
+
+    jax = _setup_jax()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    from arcanefem_tpu import testlab
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+
+    sizes = [int(s) for s in (
+        args.sizes.split(",") if args.sizes
+        else (["32", "64", "96"] if on_tpu else ["8", "12", "16"])
+    )]
+    formats = args.formats.split(",") if args.formats else None
+    rows = []
+
+    # Axis 1: assembly strategies x sizes (cache-warmed, testlab.run_lab)
+    for n in sizes:
+        mesh = box_tetra_mesh(n, n, n)
+        stats = testlab.run_lab(
+            mesh, formats=formats, cache_warming=args.cache_warming,
+            dtype=np.float32 if on_tpu else np.float64,
+        )
+        for fmt, fs in stats["formats"].items():
+            row = {
+                "axis": "assembly", "size": f"box{n}",
+                "nodes": stats["nbNode"], "elements": stats["nbElement"],
+                "format": fmt, "devices": 1,
+                "lhs_matrix_assembly_s": round(fs["lhs-matrix-assembly"], 5),
+                "mdof_per_s": round(fs["mdof_per_s"], 1),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    # Axis 2: device counts (subprocess with virtual CPU devices — the
+    # mpirun -n {1,2,4,8} partition-invariance sweep)
+    if not args.no_devices:
+        import subprocess
+
+        for nd in [int(d) for d in args.devices.split(",")]:
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={nd}"
+            )
+            env["JAX_PLATFORMS"] = "cpu"
+            env.pop("JAX_PLATFORM_NAME", None)
+            box_n = 10
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--sweep-child-devices", str(nd), str(box_n),
+                 str(max(2, args.cache_warming))],
+                env=env, capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                log(f"[sweep] devices={nd} FAILED:\n"
+                    + "\n".join(proc.stderr.splitlines()[-10:]))
+                row = {"axis": "devices", "devices": nd, "error": True}
+            else:
+                child = json.loads(proc.stdout.strip().splitlines()[-1])
+                row = {
+                    "axis": "devices", "size": f"box{box_n}",
+                    "nodes": child["nodes"], "format": "sharded-rcb-pcg",
+                    "devices": nd,
+                    "solve_s": child["solve_s"],
+                    "iterations": child["iterations"],
+                    "invariant": child["invariant"],
+                }
+                assert child["invariant"], (
+                    f"partition invariance FAILED at n={nd}: "
+                    f"rel err {child['partition_rel_err']:.2e}"
+                )
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    # Axis 3: the headline configs (TPU only — reproduces `python bench.py`)
+    if on_tpu and not args.no_headline:
+        u = bench_unstructured()
+        row = {"axis": "headline", **u}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        s = bench_structured()
+        row = {"axis": "headline", **s}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.tsv:
+        keys = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        with open(args.tsv, "w") as f:
+            f.write("\t".join(keys) + "\n")
+            for r in rows:
+                f.write("\t".join(str(r.get(k, "")) for k in keys) + "\n")
+        log(f"[sweep] {len(rows)} rows -> {args.tsv}")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep-child-devices":
+        _sweep_child_devices(
+            int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        bench_sweep(sys.argv[2:])
+        return
+
     skip_unstr = os.environ.get("BENCH_UNSTR", "1") != "1"
     skip_box = os.environ.get("BENCH_BOX", "1") != "1"
 
