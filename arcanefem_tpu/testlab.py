@@ -114,11 +114,38 @@ def _ell_to_csr(topo: Topology) -> np.ndarray:
     return topo._testlab_ell2csr
 
 
+def assemble_coo(topo: Topology, mats: dict, dtype, sort=False) -> BellMatrix:
+    """Standalone COO triplets (duplicates kept), then translate — the
+    CooBiliAssembly / CooSortBiliAssembly strategies (sort=True)."""
+    from .sparse.coo import CooMatrix
+
+    ell_cols_flat = np.asarray(topo.ell_cols).reshape(-1)
+    rows_l, cols_l, vals_l = [], [], []
+    for name, ke in mats.items():
+        slots = np.asarray(topo.slot_maps[name]).reshape(-1)
+        rows_l.append((slots // topo.width).astype(np.int32))
+        cols_l.append(ell_cols_flat[slots].astype(np.int32))
+        vals_l.append(ke.reshape(-1))
+    coo = CooMatrix(
+        rows=np.concatenate(rows_l),
+        cols=np.concatenate(cols_l),
+        vals=jnp.concatenate(vals_l).astype(dtype),
+        n=topo.n_nodes,
+    )
+    if sort:
+        coo = coo.sorted()
+    return coo.to_bell(topo)
+
+
 FORMATS = {
     "bell-segsum": assemble_bell_segsum,
     "bell-sorted": assemble_bell_sorted,
     "bell-scatter": assemble_bell_scatter,
     "csr-segsum": assemble_csr_segsum,
+    "coo": assemble_coo,
+    "coo-sorted": lambda topo, mats, dtype: assemble_coo(
+        topo, mats, dtype, sort=True
+    ),
 }
 
 
