@@ -109,17 +109,23 @@ def solve(mesh: Mesh, cfg: PassmoConfig, dtype=np.float64,
     mu_c = _per_cell(mesh, cfg.mu)
 
     with timer.phase("lhs-matrix-assembly"):
+        # persistent per-Gauss-point state, built ONCE and reused by both
+        # matrices (and any stress recovery) — the GaussDoFsOnCells role,
+        # ElastodynamicModule.cc:188-253
+        from ..ops.gauss_state import GaussState
+
+        coords_d = jnp.asarray(mesh.coords.astype(dtype))
+        gstate = GaussState.build(mesh, coords_d, cfg.ninteg, ndof)
         Mm = prob.assemble_matrix(
-            lambda ct, xyz: Q.mass_blocks_iso(
-                ct, xyz, jnp.asarray(rho_c[ct])[None, :], ndof, cfg.ninteg
+            lambda ct, xyz: gstate.mass_blocks(
+                ct, jnp.asarray(rho_c[ct])[None, :]
             )
         )
         Km = prob.assemble_matrix(
-            lambda ct, xyz: Q.stiffness_blocks_iso(
-                ct, xyz,
+            lambda ct, xyz: gstate.stiffness_blocks(
+                ct,
                 jnp.asarray(lam_c[ct])[None, :],
                 jnp.asarray(mu_c[ct])[None, :],
-                ndof, cfg.ninteg,
             )
         )
         A = Mm.with_values(cm * Mm.values + (1.0 - af) * Km.values)
