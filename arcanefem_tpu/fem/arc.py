@@ -239,9 +239,11 @@ def parse_solver(fem: ET.Element) -> SolverOptions:
     if method == "gmres":
         # (AlephDoFLinearSystemFactory.axl solver-method) on-device GMRES(m)
         opts.method = "gmres"
-    elif method in ("bicgstab", "bicgstab2"):
-        # bicgstab2 = BiCGStab(2), mapped onto the on-device BiCGStab
+    elif method == "bicgstab":
         opts.method = "bicgstab"
+    elif method == "bicgstab2":
+        # Sleijpen-Fokkema BiCGStab(2) (solver/iterative.py::bicgstab2)
+        opts.method = "bicgstab2"
     return opts
 
 

@@ -430,3 +430,106 @@ def bicgstab(
         bnorm, jnp.asarray(jnp.finfo(bnorm.dtype).tiny, bnorm.dtype)
     )
     return x, k, rel
+
+
+@partial(jax.jit, static_argnames=("max_iter", "use_precise_dot"))
+def bicgstab2(
+    A: BellMatrix,
+    b: Array,
+    M: Precond,
+    x0: Array,
+    rtol: float,
+    atol: float,
+    max_iter: int,
+    use_precise_dot: bool = False,
+):
+    """BiCGStab(2) — Sleijpen & Fokkema's BiCGstab(l) with l=2, the Aleph
+    method_bicgstab2 role (AlephDoFLinearSystemFactory.axl:34-43).
+
+    Each iteration runs two BiCG steps followed by a degree-2 minimal-
+    residual polynomial update, which handles operators with complex
+    eigenpairs where plain BiCGStab's degree-1 MR step stagnates.
+
+    Right-preconditioned: the recurrence runs on A·M in y-space (the true
+    residual is invariant), and the solution delta is mapped back through
+    one M apply at the end — so M only needs to be linear.  Convergence is
+    measured on ||M r||, matching pcg/bicgstab here.
+    """
+    dot = precise_dot if use_precise_dot else default_dot
+
+    def op(z):
+        return A.spmv(M.apply(z))
+
+    def pnorm2(r):
+        mr = M.apply(r)
+        return dot(mr, mr)
+
+    r0 = b - A.spmv(x0)
+    rhat = r0
+    bnorm = jnp.sqrt(pnorm2(r0))
+    tol = jnp.maximum(rtol * bnorm, atol)
+    eps = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+
+    def safe_div(a, d):
+        return a / jnp.where(jnp.abs(d) > eps, d, jnp.where(d < 0, -eps, eps))
+
+    def cond(state):
+        y, r, u, rho0, alpha, omega, k = state
+        return (jnp.sqrt(pnorm2(r)) > tol) & (k < max_iter)
+
+    def body(state):
+        y, r, u, rho0, alpha, omega, k = state
+        rho0 = -omega * rho0
+
+        # even BiCG step
+        rho1 = dot(rhat, r)
+        beta = safe_div(alpha * rho1, rho0)
+        rho0 = rho1
+        u = r - beta * u
+        v = op(u)
+        gamma = dot(v, rhat)
+        alpha = safe_div(rho0, gamma)
+        r1 = r - alpha * v
+        s = op(r1)
+        y = y + alpha * u
+
+        # odd BiCG step
+        rho1 = dot(rhat, s)
+        beta = safe_div(alpha * rho1, rho0)
+        rho0 = rho1
+        v = s - beta * v
+        w = op(v)
+        gamma = dot(w, rhat)
+        alpha = safe_div(rho0, gamma)
+        u = r1 - beta * u
+        r1 = r1 - alpha * v
+        s = s - alpha * w
+        t = op(s)
+        y = y + alpha * u
+
+        # GCR(2): minimize ||r - omega1 s - omega2 t||
+        w1 = dot(r1, s)
+        mu = dot(s, s)
+        nu = dot(s, t)
+        tau = dot(t, t)
+        w2 = dot(r1, t)
+        tau = tau - safe_div(nu * nu, mu)
+        omega2 = safe_div(w2 - safe_div(nu * w1, mu), tau)
+        omega1 = safe_div(w1 - nu * omega2, mu)
+        y = y + omega1 * r1 + omega2 * s
+        r1 = r1 - omega1 * s - omega2 * t
+        u = u - omega1 * v - omega2 * w
+        return (y, r1, u, rho0, alpha, omega2, k + 1)
+
+    one = jnp.asarray(1.0, b.dtype)
+    y, r, _u, _rho, _a, _o, k = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros_like(b), r0, jnp.zeros_like(b), one, one, one,
+         jnp.int32(0)),
+    )
+    x = x0 + M.apply(y)
+    rel = jnp.sqrt(pnorm2(r)) / jnp.maximum(
+        bnorm, jnp.asarray(jnp.finfo(bnorm.dtype).tiny, bnorm.dtype)
+    )
+    return x, k, rel

@@ -256,6 +256,13 @@ def solve_finalized(
             A, b, M, x0, options.rtol, options.atol, options.max_iter,
             use_precise_dot=use_precise,
         )
+    elif options.method == "bicgstab2":
+        from .iterative import bicgstab2
+
+        x, iters, res = bicgstab2(
+            A, b, M, x0, options.rtol, options.atol, options.max_iter,
+            use_precise_dot=use_precise,
+        )
     elif options.method == "gmres":
         x, iters, res = gmres(
             A, b, M, x0, options.rtol, options.atol, options.max_iter,

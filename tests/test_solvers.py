@@ -194,5 +194,60 @@ def test_arc_solver_method_routing():
         )
 
     assert parse_solver(fem_with("gmres")).method == "gmres"
-    assert parse_solver(fem_with("bicgstab2")).method == "bicgstab"
+    assert parse_solver(fem_with("bicgstab2")).method == "bicgstab2"
     assert parse_solver(fem_with("bicgstab")).method == "bicgstab"
+
+
+def test_bicgstab2_matches_dense():
+    """BiCGStab(2) (Sleijpen-Fokkema, the Aleph method_bicgstab2 role)."""
+    from arcanefem_tpu.solver.iterative import bicgstab2
+
+    prob, sys = _poisson_system(method="RowElimination")
+    A, b = sys.finalized()
+    M = make_precond(A, "jacobi")
+    x, k, rel = bicgstab2(A, b, M, sys.initial_guess(), 1e-12, 0.0, 500)
+    xd = jnp.linalg.solve(A.todense(), b)
+    assert float(rel) < 1e-11
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(xd), rtol=1e-7, atol=1e-10
+    )
+
+
+def test_bicgstab2_nonsymmetric_system():
+    """BiCGStab(2) on a genuinely nonsymmetric (advection-ish) operator —
+    the case class the degree-2 MR step exists for."""
+    from arcanefem_tpu.solver.iterative import bicgstab2
+    from arcanefem_tpu.solver.iterative import Precond
+
+    prob, sys = _poisson_system(method="RowElimination")
+    A, b = sys.finalized()
+    # skew the operator: A_dense + upwind-ish shift on the ELL values
+    dense = np.asarray(A.todense())
+    n = dense.shape[0]
+    rng = np.random.RandomState(3)
+    skew = np.triu(rng.rand(n, n) * (np.abs(dense) > 0), 1) * 0.3
+    dense_ns = dense + skew - skew.T  # nonsymmetric, same magnitude
+    import jax
+
+    @jax.tree_util.register_pytree_node_class
+    class DenseOp:
+        def __init__(self, D):
+            self.D = jnp.asarray(D)
+
+        def spmv(self, x):
+            return self.D @ x
+
+        def tree_flatten(self):
+            return ((self.D,), None)
+
+        @classmethod
+        def tree_unflatten(cls, aux, children):
+            return cls(children[0])
+
+    An = DenseOp(dense_ns)
+    M = Precond(data=(), kind="none")
+    x, k, rel = bicgstab2(An, jnp.asarray(b), M, jnp.zeros_like(b),
+                          1e-11, 0.0, 2000)
+    xd = np.linalg.solve(dense_ns, np.asarray(b))
+    assert float(rel) < 1e-10
+    np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-6, atol=1e-8)
