@@ -597,7 +597,44 @@ def bench_sweep(argv: list[str]) -> None:
         log(f"[sweep] {len(rows)} rows -> {args.tsv}")
 
 
+def bench_stability(reps: int = 3) -> None:
+    """`bench.py --stability [reps]`: gate the fused bench composition.
+
+    Runs the pcg crash-probe (tools/probe_crash.py — the harness that
+    root-caused the vmem_limit_bytes TPU-worker fault, ROADMAP.md) `reps`
+    times in fresh subprocesses and reports pass/fail per run.  TPU only;
+    run each round before trusting the fused-path bench number.
+    """
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    results = []
+    for i in range(reps):
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "probe_crash.py"),
+             "pcg", os.environ.get("BENCH_N", "224")],
+            capture_output=True, text=True, timeout=1800, cwd=here,
+        )
+        ok = proc.returncode == 0
+        results.append(ok)
+        log(f"[stability] run {i+1}/{reps}: {'ok' if ok else 'FAIL'} "
+            f"({time.time()-t0:.0f}s)"
+            + ("" if ok else "\n" + "\n".join(proc.stderr.splitlines()[-5:])))
+    print(json.dumps({
+        "metric": "fused_pcg_stability",
+        "value": sum(results) / len(results),
+        "unit": "pass_rate", "runs": reps,
+        "vs_baseline": None,
+    }))
+    if not all(results):
+        sys.exit(1)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--stability":
+        bench_stability(int(sys.argv[2]) if len(sys.argv) > 2 else 3)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--sweep-child-devices":
         _sweep_child_devices(
             int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
