@@ -674,7 +674,19 @@ def main():
     skip_unstr = os.environ.get("BENCH_UNSTR", "1") != "1"
     skip_box = os.environ.get("BENCH_BOX", "1") != "1"
 
-    unstr = None if skip_unstr else bench_unstructured()
+    unstr = None
+    if not skip_unstr:
+        try:
+            unstr = bench_unstructured()
+        except Exception as e:
+            # never lose the whole bench to the newer primary path — fall
+            # back to the proven structured metric and say why
+            log(f"[bench] unstructured primary FAILED ({e!r}); "
+                "falling back to the structured metric")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            skip_box = False
     box = None if skip_box else bench_structured()
 
     primary = unstr or box
