@@ -90,6 +90,14 @@ def solve(
     if "RowElimination" in methods and config.solver.method == "cg":
         config.solver.method = "bicgstab"
 
+    if (config.solver.preconditioner == "amg"
+            and config.solver.amg_nullspace is None):
+        # rigid-body modes make the SA hierarchy see rotations (the classic
+        # elasticity near-nullspace, solver/amg.py::rigid_body_modes)
+        from ..solver.amg import rigid_body_modes
+
+        config.solver.amg_nullspace = rigid_body_modes(mesh.coords, prob.ndof)
+
     system = prob.new_system(A, config.solver)
 
     with timer.phase("rhs-vector-assembly"):

@@ -190,7 +190,12 @@ def solve(mesh: Mesh, cfg: ElastodynamicsConfig, dtype=np.float64,
 
     fbc = freeze_bcs(system)
     A_bc = fbc.A
-    M_pre = make_precond(A_bc, cfg.solver.preconditioner)
+    ns = None
+    if cfg.solver.preconditioner == "amg":
+        from ..solver.amg import rigid_body_modes
+
+        ns = rigid_body_modes(mesh.coords, ndof)
+    M_pre = make_precond(A_bc, cfg.solver.preconditioner, nullspace=ns)
 
     # constant rhs pieces
     rhs_body = jnp.zeros(prob.n_dofs, dtype)

@@ -144,7 +144,12 @@ def solve(mesh: Mesh, cfg: PassmoConfig, dtype=np.float64,
             dir_mask[dofs] = True
             dir_gval[dofs] = v
     fbc = freeze_bcs(system)
-    M_pre = make_precond(fbc.A, cfg.solver.preconditioner)
+    ns = None
+    if cfg.solver.preconditioner == "amg":
+        from ..solver.amg import rigid_body_modes
+
+        ns = rigid_body_modes(mesh.coords, ndof)
+    M_pre = make_precond(fbc.A, cfg.solver.preconditioner, nullspace=ns)
 
     @jax.jit
     def step(U, V, Acc):

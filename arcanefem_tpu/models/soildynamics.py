@@ -156,7 +156,12 @@ def solve(mesh: Mesh, cfg: SoildynamicsConfig, dtype=np.float64,
             dir_mask[dofs] = True
             dir_gval[dofs] = v
     fbc = freeze_bcs(system)
-    M_pre = make_precond(fbc.A, cfg.solver.preconditioner)
+    ns = None
+    if cfg.solver.preconditioner == "amg":
+        from ..solver.amg import rigid_body_modes
+
+        ns = rigid_body_modes(mesh.coords, ndof)
+    M_pre = make_precond(fbc.A, cfg.solver.preconditioner, nullspace=ns)
 
     # constant tractions; timed ones interpolated per step
     const_tr = jnp.zeros(prob.n_dofs, dtype)

@@ -16,11 +16,14 @@ Vanek aggregation, prolongator smoothing, Galerkin triple product) runs
 once on the host with scipy.sparse; the apply path is pure jit.
 
 Block (vector) systems are handled by NODE aggregation on the Frobenius
-norms of the b×b coupling blocks with a component-preserving tentative
-prolongator (T = agg ⊗ I_b, the translations-only nullspace; rigid-body
-rotations are future work), then the same smoothing/Galerkin machinery on
-the scalar expansion — dof ordering node·b+comp is preserved on every
-level so the node/dof relationship recurses.
+norms of the b×b coupling blocks.  The tentative prolongator is either
+component-preserving (T = agg ⊗ I_b, the translations-only nullspace) or,
+when a near-nullspace matrix is supplied (rigid-body modes from the node
+coordinates — the classic SA elasticity recipe), a per-aggregate SVD
+orthonormalization of the restricted nullspace with the R factor carried
+down as the next level's nullspace.  Coarse levels then have m dofs per
+aggregate (m = #modes: 3 in 2D, 6 in 3D) and the same smoothing/Galerkin
+machinery recurses on the scalar expansion.
 """
 
 from __future__ import annotations
@@ -58,6 +61,94 @@ def _ell_from_csr(indptr: np.ndarray, cols: np.ndarray) -> Topology:
         csr_to_ell=flat.astype(np.int32), diag_slot=diag_slot,
         slot_maps={},
     )
+
+
+def rigid_body_modes(coords: np.ndarray, b: int) -> np.ndarray:
+    """Near-nullspace B (n·b, m) of linear elasticity: m=3 modes in 2D
+    (tx, ty, rotation), m=6 in 3D (3 translations + 3 rotations).
+
+    Coordinates are centered so rotation columns stay O(mesh size).
+    The Hypre equivalent is BoomerAMG's interp-vectors / GM elasticity
+    options; PyAMG calls this B in smoothed_aggregation_solver.
+    """
+    c = np.asarray(coords, np.float64)
+    c = c - c.mean(axis=0, keepdims=True)
+    n = c.shape[0]
+    if b == 2:
+        B = np.zeros((n * 2, 3))
+        B[0::2, 0] = 1.0
+        B[1::2, 1] = 1.0
+        B[0::2, 2] = -c[:, 1]
+        B[1::2, 2] = c[:, 0]
+        return B
+    if b == 3:
+        B = np.zeros((n * 3, 6))
+        for a in range(3):
+            B[a::3, a] = 1.0
+        x, y, z = c[:, 0], c[:, 1], c[:, 2]
+        B[1::3, 3], B[2::3, 3] = -z, y  # rot about x
+        B[0::3, 4], B[2::3, 4] = z, -x  # rot about y
+        B[0::3, 5], B[1::3, 5] = -y, x  # rot about z
+        return B
+    raise ValueError(f"rigid body modes need b in (2, 3), got {b}")
+
+
+def _rbm_tentative(agg: np.ndarray, na: int, B: np.ndarray, bl: int):
+    """Tentative prolongator from a near-nullspace: per-aggregate SVD.
+
+    Returns (T (n, na*m) csr, Bc (na*m, m)) with T's aggregate column
+    blocks orthonormal (Q of Ba = Q·R) and Bc = R so T @ Bc == B on
+    aggregated rows — the smoothed-aggregation nullspace recursion.
+    Rank-deficient aggregates (singletons can't represent rotations)
+    get their surplus columns zeroed; the corresponding coarse dofs have
+    ~zero rows everywhere and are inert in the V-cycle.
+    """
+    import scipy.sparse as sp
+
+    nn = len(agg)
+    m = B.shape[1]
+    sel = np.flatnonzero(agg >= 0)
+    order = np.argsort(agg[sel], kind="stable")
+    nodes_sorted = sel[order]
+    aggs_sorted = agg[sel][order]
+    counts = np.bincount(aggs_sorted, minlength=na)
+    kmax = max(int(counts.max()), 1)
+    starts = np.cumsum(counts) - counts
+    slot = np.arange(len(nodes_sorted)) - starts[aggs_sorted]
+    pad = np.full((na, kmax), -1, np.int64)
+    pad[aggs_sorted, slot] = nodes_sorted
+    node_mask = pad >= 0  # (na, kmax)
+    dofrows = (
+        np.maximum(pad, 0)[:, :, None] * bl + np.arange(bl)[None, None, :]
+    ).reshape(na, kmax * bl)
+    dmask = np.repeat(node_mask, bl, axis=1)
+    Tcols_data = np.zeros((na, kmax * bl, m))
+    Bc = np.zeros((na, m, m))
+    # chunked batched SVD (memory: chunk * kmax*bl * m)
+    chunk = max(1, 50_000_000 // max(kmax * bl * m, 1))
+    for lo in range(0, na, chunk):
+        hi = min(lo + chunk, na)
+        Ba = np.where(
+            dmask[lo:hi, :, None], B[dofrows[lo:hi], :], 0.0
+        )  # (c, kbl, m)
+        U, S, Vt = np.linalg.svd(Ba, full_matrices=False)
+        keep = S > np.maximum(S[:, :1] * 1e-10, 1e-12)
+        Tcols_data[lo:hi] = U * (keep[:, None, :] * 1.0)
+        Bc[lo:hi] = S[:, :, None] * Vt
+    rows = np.broadcast_to(
+        dofrows[:, :, None], (na, kmax * bl, m)
+    ).reshape(-1)
+    cols = (
+        np.arange(na)[:, None, None] * m + np.arange(m)[None, None, :]
+    )
+    cols = np.broadcast_to(cols, (na, kmax * bl, m)).reshape(-1)
+    data = (Tcols_data * dmask[:, :, None]).reshape(-1)
+    nzsel = data != 0.0
+    T = sp.csr_matrix(
+        (data[nzsel], (rows[nzsel], cols[nzsel])),
+        shape=(nn * bl, na * m),
+    )
+    return T, Bc.reshape(na * m, m)
 
 
 def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
@@ -243,12 +334,18 @@ def build_amg(
     nu: int = 1,
     omega: float = 4.0 / 3.0,  # smoother damping NUMERATOR: ω_l = omega/ρ_l
     use_pallas: bool = True,
+    nullspace: np.ndarray | None = None,
 ) -> AMGPrecond:
     """Host-side setup: strength -> aggregation -> Galerkin, per level.
 
     A must be a finalized (BC-applied) scalar BellMatrix; penalty rows
     become singleton aggregates (the strength filter isolates their huge
     diagonals) and are handled exactly by the Jacobi smoother.
+
+    nullspace: optional (n_dofs, m) near-nullspace for block systems —
+    rigid_body_modes(mesh.coords, b) for elasticity.  Coarse levels then
+    carry m dofs per aggregate; without it block systems use the
+    translations-only component-preserving tentative prolongator.
     """
     import os
     import time as _time
@@ -307,12 +404,17 @@ def build_amg(
             v = w / lam
         return lam
 
-    def truncate_rows(P, kmax=8, rel=0.05):
+    def truncate_rows(P, kmax=8, rel=0.05, rescale=True):
         """Cap P's row width: keep the kmax largest-|.| entries per row
         (and drop entries below rel·rowmax), rescaling the survivors so
         each row sum is preserved — constants stay exactly interpolated.
         Unbounded SA prolongator width is what blew the Galerkin operators
-        up to W=1700 on the 300k sphere_cut hierarchy."""
+        up to W=1700 on the 300k sphere_cut hierarchy.
+
+        rescale=False for RBM prolongators: their rows mix translation and
+        rotation columns, so the row sum is meaningless and near-zero sums
+        produce wild scale factors (measured 2x WORSE convergence than the
+        translations-only hierarchy with rescaling on)."""
         indptr, dat = P.indptr, P.data
         deg = np.diff(indptr)
         if len(dat) == 0 or int(deg.max(initial=0)) <= kmax and rel == 0:
@@ -327,13 +429,17 @@ def build_amg(
             rowmax = np.zeros(nr)
             np.maximum.at(rowmax, rows, np.abs(dat))
             keep &= np.abs(dat) >= rel * rowmax[rows]
+        import scipy.sparse as sp
+
+        if not rescale:
+            Q = sp.csr_matrix((dat * keep, P.indices, indptr), shape=P.shape)
+            Q.eliminate_zeros()
+            return Q
         full = np.zeros(nr)
         kept = np.zeros(nr)
         np.add.at(full, rows, dat)
         np.add.at(kept, rows, dat * keep)
         scale = np.where(np.abs(kept) > 1e-30, full / np.where(kept == 0, 1, kept), 1.0)
-        import scipy.sparse as sp
-
         Q = sp.csr_matrix(
             (dat * keep * scale[rows], P.indices, indptr), shape=P.shape
         )
@@ -343,18 +449,23 @@ def build_amg(
     dtype = np.asarray(A.values).dtype
     mats, inv_diags, Ps, rhos = [], [], [], []
     cur = Ah
-    while cur.shape[0] > coarse_size * b and len(mats) < max_levels:
+    bl = b  # dofs per "node" at the current level (m on coarse RBM levels)
+    Bns = np.asarray(nullspace, np.float64) if (
+        nullspace is not None and b > 1
+    ) else None
+    used_rbm = Bns is not None
+    while cur.shape[0] > coarse_size * bl and len(mats) < max_levels:
         n = cur.shape[0]
-        nn = n // b  # node count (dofs stay node-major on every level)
+        nn = n // bl  # node count (dofs stay node-major on every level)
         # Vanek's per-level strength decay: Galerkin operators get denser
         # with depth, so the same θ keeps far too many edges there
         theta_l = theta * (0.5 ** len(mats))
-        if b > 1:
+        if bl > 1:
             # node-level strength on block Frobenius norms: E^T |A|² E
             # with E = I_nn ⊗ 1_b collapses each b×b block to a scalar
             E = sp.kron(
                 sp.identity(nn, format="csr"),
-                np.ones((b, 1)),
+                np.ones((bl, 1)),
                 format="csr",
             )
             A2 = cur.copy()
@@ -375,15 +486,21 @@ def build_amg(
         if na == 0 or na >= nn:  # no coarsening progress
             break
         sel = agg >= 0
-        if b > 1:
+        bl_next = bl
+        Bc = None
+        if bl > 1 and Bns is not None:
+            # rigid-body-mode tentative (SA nullspace recursion)
+            T, Bc = _rbm_tentative(agg, na, Bns, bl)
+            bl_next = Bns.shape[1]
+        elif bl > 1:
             # component-preserving tentative: dof (i, a) -> (agg[i], a)
-            dsel = np.repeat(sel, b)
+            dsel = np.repeat(sel, bl)
             drow = np.arange(n)[dsel]
-            dcol = np.repeat(agg[sel], b) * b + np.tile(
-                np.arange(b), int(sel.sum())
+            dcol = np.repeat(agg[sel], bl) * bl + np.tile(
+                np.arange(bl), int(sel.sum())
             )
             T = sp.csr_matrix(
-                (np.ones(len(drow)), (drow, dcol)), shape=(n, na * b)
+                (np.ones(len(drow)), (drow, dcol)), shape=(n, na * bl)
             )
         else:
             T = sp.csr_matrix(
@@ -395,8 +512,8 @@ def build_amg(
         # diagonal, so smoothing spreads T only along strong edges — this
         # is what keeps P (and the Galerkin product) sparse
         aco = cur.tocoo()
-        ni = aco.row // b
-        nj = aco.col // b
+        ni = aco.row // bl
+        nj = aco.col // bl
         Sco = S.tocoo()
         skey = np.sort(Sco.row.astype(np.int64) * nn + Sco.col)
         akey = ni.astype(np.int64) * nn + nj
@@ -420,13 +537,15 @@ def build_amg(
         Dinv = sp.diags(1.0 / np.where(dd == 0, 1.0, dd))
         rhos.append(rho_est((Dinv @ cur).tocsr()))
         P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho_f) * DAf) @ T
-        P = truncate_rows(P.tocsr())
+        P = truncate_rows(P.tocsr(), rescale=not used_rbm)
         nxt = (P.T @ cur @ P).tocsr()
         nxt.sum_duplicates()
 
         mats.append(cur)
         Ps.append(P)
         cur = nxt
+        bl = bl_next
+        Bns = Bc
         _mark(f"level {len(mats)-1} ({n}->{cur.shape[0]} dofs)")
 
     pallas_ok = use_pallas and jax.devices()[0].platform == "tpu"
@@ -507,18 +626,28 @@ def build_amg(
         pt_apply.append(gt)
         _mark(f"transfers[{len(p_apply)-1}]")
 
-    if cur.shape[0] > 8 * coarse_size * b:
+    if cur.shape[0] > 8 * coarse_size * bl:
         # aggregation stalled (or max_levels hit early) far above the target
         # coarse size — a dense inverse here would be O(n^3); fail loudly
         # instead of silently degrading setup
         raise RuntimeError(
             f"AMG coarsening stalled at {cur.shape[0]} dofs "
-            f"(target coarse size {coarse_size * b}, {len(mats)} levels); "
+            f"(target coarse size {coarse_size * bl}, {len(mats)} levels); "
             "loosen theta or raise max_levels/coarse_size"
         )
-    coarse_inv = jnp.asarray(
-        np.linalg.inv(cur.toarray()).astype(dtype)
-    )
+    coarse_dense = cur.toarray()
+    if used_rbm:
+        # rank-deficient aggregates (singletons can't carry rotations)
+        # leave inert all-zero rows/cols in the coarsest operator; give
+        # them identity rows so the exact inverse exists (their residual
+        # is identically zero, so the correction stays zero).  NOT pinv:
+        # a relative rcond against 1e30 penalty diagonals would discard
+        # every physical mode.
+        zero_rows = ~np.any(coarse_dense != 0.0, axis=1)
+        if zero_rows.any():
+            idx = np.flatnonzero(zero_rows)
+            coarse_dense[idx, idx] = 1.0
+    coarse_inv = jnp.asarray(np.linalg.inv(coarse_dense).astype(dtype))
     return AMGPrecond(
         mats=tuple(bell_mats),
         inv_diags=tuple(inv_diags),

@@ -53,9 +53,13 @@ class Precond:
         raise ValueError(f"unknown preconditioner kind '{self.kind}'")
 
 
-def make_precond(A: BellMatrix, name: str | None) -> "Precond | AMGPrecond":
+def make_precond(
+    A: BellMatrix, name: str | None, nullspace=None
+) -> "Precond | AMGPrecond":
     """Build a preconditioner; the 'amg' branch returns an AMGPrecond
-    (solver/amg.py) — both expose the same ``.apply(r)`` contract."""
+    (solver/amg.py) — both expose the same ``.apply(r)`` contract.
+    nullspace: optional near-nullspace (n_dofs, m) for the AMG setup
+    (rigid body modes for elasticity); ignored by other kinds."""
     if name in (None, "none"):
         return Precond(data=(), kind="none")
     if name == "jacobi":
@@ -71,7 +75,7 @@ def make_precond(A: BellMatrix, name: str | None) -> "Precond | AMGPrecond":
         # block systems use node aggregation (solver/amg.py)
         from .amg import build_amg
 
-        return build_amg(A)
+        return build_amg(A, nullspace=nullspace)
     if name == "poly":
         # Aleph poly/ainv/ic/ilu role (AlephDoFLinearSystemFactory.axl:
         # 34-43): fixed-degree Chebyshev polynomial in D^{-1}A — the

@@ -168,6 +168,10 @@ class SolverOptions:
     # the XLA gather runs ~0.11 Gelem/s on big meshes (~8x slower than the
     # window kernel at 300k nodes).
     spmv: str = "pallas"
+    # optional (n_dofs, m) near-nullspace handed to the AMG setup — rigid
+    # body modes for elasticity-family block systems
+    # (solver/amg.py::rigid_body_modes); ignored by other preconditioners
+    amg_nullspace: object = None
 
 
 @dataclass
@@ -233,7 +237,9 @@ def solve_finalized(
         from ..sparse.pallas_spmv import as_pallas_matrix
 
         A = as_pallas_matrix(A)
-    M = precond if precond is not None else make_precond(A, options.preconditioner)
+    M = precond if precond is not None else make_precond(
+        A, options.preconditioner, nullspace=options.amg_nullspace
+    )
     from .amg import AMGPrecond
 
     if (isinstance(M, AMGPrecond) and M.mats

@@ -121,3 +121,64 @@ def test_amg_block_elasticity():
     np.testing.assert_allclose(
         np.asarray(xa), np.asarray(xb), rtol=1e-5, atol=1e-8
     )
+
+
+def test_amg_rigid_body_modes_improve_elasticity():
+    """RBM near-nullspace (solver/amg.py::rigid_body_modes) beats the
+    translations-only tentative prolongator on 2D elasticity — the classic
+    SA elasticity recipe (the BoomerAMG interp-vectors role)."""
+    from arcanefem_tpu.mesh.generate import rect_tria_mesh
+    from arcanefem_tpu.models.elasticity import element_blocks, lame
+    from arcanefem_tpu.solver.amg import build_amg, rigid_body_modes
+
+    mesh = rect_tria_mesh(40, 40)
+    prob = FemProblem(mesh, ndof=2, dtype=np.float64)
+    lam, mu2 = lame(3.0e5, 0.3)
+    A = prob.assemble_matrix(lambda ct, xyz: element_blocks(ct, xyz, lam, mu2))
+    pen = dtype_safe_penalty(1e30, np.float64)
+    left = mesh.group_nodes("left")
+    mask = np.zeros(prob.n_dofs, bool)
+    for comp in range(2):
+        mask[prob.dof_ids(left, comp)] = True
+    vals = A.flat_values().reshape(-1, 2, 2)
+    dslots = jnp.asarray(A.topo.diag_slot)
+    dm = jnp.asarray(mask.reshape(-1, 2))
+    db = vals[dslots]
+    db = jnp.where(dm[:, :, None] | dm[:, None, :], 0.0, db)
+    db = db.at[:, 0, 0].set(jnp.where(dm[:, 0], pen, db[:, 0, 0]))
+    db = db.at[:, 1, 1].set(jnp.where(dm[:, 1], pen, db[:, 1, 1]))
+    vals = vals.at[dslots].set(db)
+    A = A.with_values(vals.reshape(A.values.shape))
+    rhs = jnp.where(jnp.asarray(mask), 0.0, 1.0)
+    x0 = jnp.zeros(prob.n_dofs)
+
+    Mt = build_amg(A, use_pallas=False)
+    xt, kt, _ = pcg(A, rhs, Mt, x0, 1e-10, 0.0, 8000)
+
+    B = rigid_body_modes(mesh.coords, 2)
+    assert B.shape == (prob.n_dofs, 3)
+    Mr = build_amg(A, use_pallas=False, nullspace=B)
+    xr, kr, _ = pcg(A, rhs, Mr, x0, 1e-10, 0.0, 8000)
+    assert int(kr) < int(kt), f"RBM {int(kr)} vs translations {int(kt)}"
+    np.testing.assert_allclose(
+        np.asarray(xr), np.asarray(xt), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_rbm_tentative_exactly_interpolates_nullspace():
+    """T @ Bc == B on aggregated rows (the SA nullspace recursion
+    invariant), including rank-deficient singleton aggregates."""
+    from arcanefem_tpu.solver.amg import _rbm_tentative, rigid_body_modes
+
+    rng = np.random.RandomState(0)
+    nn = 23
+    coords = rng.rand(nn, 2)
+    B = rigid_body_modes(coords, 2)
+    # aggregates of mixed size incl. singletons; one unaggregated node
+    agg = np.array([i // 4 for i in range(20)] + [5, 6, -1])
+    T, Bc = _rbm_tentative(agg, 7, B, 2)
+    got = np.asarray((T @ Bc))
+    want = np.asarray(B)
+    sel = np.repeat(agg >= 0, 2)
+    np.testing.assert_allclose(got[sel], want[sel], rtol=1e-10, atol=1e-12)
+    assert np.all(got[~sel] == 0.0)
