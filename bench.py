@@ -256,7 +256,7 @@ def bench_unstructured() -> dict:
         f"({time.time()-t0:.1f}s)")
 
     t0 = time.time()
-    topo = build_topology(mesh.n_nodes, mesh.cells)
+    topo = _load_topology(mesh, f"sphere_cut_v2_h{h:g}_r{refine}")
     log(f"[unstr] topology W={topo.width} nnz={topo.nnz:,} "
         f"({time.time()-t0:.1f}s)")
 
@@ -389,6 +389,36 @@ def bench_unstructured() -> dict:
     if spmv_ratio is not None:
         out["spmv_vs_xla_gather"] = round(spmv_ratio, 1)
     return out
+
+
+def _load_topology(mesh, key: str):
+    """build_topology with a /tmp npz cache — at 10M nodes the (native)
+    builder still costs ~15 min on a 1-CPU host; the cache loads in <1 min.
+    Setup artifacts, not measured work (the reference's sparsity build is
+    timed separately too, BSRFormat::computeSparsity)."""
+    from arcanefem_tpu.sparse.topology import Topology, build_topology
+
+    cache_dir = "/tmp/afem_meshes"
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"topo_{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return Topology(
+            n_nodes=int(z["n_nodes"]), width=int(z["width"]),
+            ell_cols=z["ell_cols"], ell_valid=z["ell_valid"],
+            row_ptr=z["row_ptr"], csr_cols=z["csr_cols"],
+            csr_to_ell=z["csr_to_ell"], diag_slot=z["diag_slot"],
+            slot_maps={"tetra4": z["slot_tetra4"]},
+        )
+    topo = build_topology(mesh.n_nodes, mesh.cells)
+    np.savez(
+        path, n_nodes=topo.n_nodes, width=topo.width,
+        ell_cols=topo.ell_cols, ell_valid=topo.ell_valid,
+        row_ptr=topo.row_ptr, csr_cols=topo.csr_cols,
+        csr_to_ell=topo.csr_to_ell, diag_slot=topo.diag_slot,
+        slot_tetra4=topo.slot_maps["tetra4"],
+    )
+    return topo
 
 
 def _load_sphere_cut(h: float, refine: int):
