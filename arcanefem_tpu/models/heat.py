@@ -38,7 +38,10 @@ class ConvectionBC:
 @dataclass
 class HeatConfig:
     lam: float = 1.0
-    qdot: float | None = None
+    # constant source, or a manufactured source q(x, y, z, t) evaluated at
+    # cell barycenters each step (the reference's manufactured-solution
+    # machinery, ArcaneFemFunctions.h:1030-1053, extended in time)
+    qdot: float | object | None = None
     Tinit: float = 0.0
     dt: float = 0.1
     tmax: float = 1.0
@@ -47,6 +50,11 @@ class HeatConfig:
     solver: SolverOptions = field(default_factory=SolverOptions)
     result_file: str | None = None
     result_epsilon: float = 1.0e-4
+    # "lumped" mirrors the reference's RHS (FemModule.cc:487-493: lumped
+    # T_old/dt against a CONSISTENT M/dt in the LHS — an inconsistent mix
+    # whose error grows as dt shrinks at fixed h).  "consistent" uses
+    # M·T_old/dt and restores O(h²)+O(dt) convergence (MMS-tested).
+    mass_rhs: str = "lumped"
 
 
 @dataclass
@@ -99,8 +107,24 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
             rhs_const = prob.neumann_rhs(rhs_const, nm.surface, value=nm.value)
     for cv in config.convection:
         rhs_const = prob.neumann_rhs(rhs_const, cv.surface, value=cv.h * cv.Text)
-    if config.qdot is not None:
+    qdot_fn = config.qdot if callable(config.qdot) else None
+    if config.qdot is not None and qdot_fn is None:
         rhs_const = rhs_const + prob.constant_source_rhs(config.qdot)
+
+    def _source_rhs_at(t_eval):
+        """Manufactured source at barycenters: rhs[node] += q(bc, t)·meas/npc
+        (applyManufacturedSourceToRhs, ArcaneFemFunctions.h:1030-1053)."""
+        r = jnp.zeros(prob.n_dofs, dtype)
+        for ct, conn in mesh.cells.items():
+            xyz = prob.cell_xyz(ct)
+            meas = elements.measure(ct, xyz)
+            bc3 = jnp.mean(xyz, axis=1)  # (nc, dim)
+            z = bc3[:, 2] if bc3.shape[1] > 2 else jnp.zeros_like(bc3[:, 0])
+            q = qdot_fn(bc3[:, 0], bc3[:, 1], z, t_eval)
+            npc = conn.shape[1]
+            contrib = jnp.repeat(q * meas / npc, npc)
+            r = r.at[jnp.asarray(conn.reshape(-1))].add(contrib)
+        return r
 
     # lumped nodal measure: rhs += T_old/dt * (sum of cell measure/npc)
     lumped = np.zeros(prob.n_dofs, np.float64)
@@ -109,6 +133,12 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
         npc = conn.shape[1]
         np.add.at(lumped, conn.reshape(-1), np.repeat(meas / npc, npc))
     lumped = jnp.asarray(lumped.astype(dtype))
+    Mmat = None
+    if config.mass_rhs == "consistent":
+        Mmat = prob.assemble_matrix(lambda ct, xyz: elements.mass(ct, xyz))
+    elif config.mass_rhs != "lumped":
+        raise ValueError(f"mass_rhs must be lumped|consistent, "
+                         f"got {config.mass_rhs!r}")
 
     if T0 is not None:
         T = jnp.asarray(np.asarray(T0).reshape(-1).astype(dtype))
@@ -119,7 +149,12 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
     history = []
     with timer.phase("time-loop"):
         while t < config.tmax:
-            rhs = fbc.apply(rhs_const + lumped * T / dt)
+            old_mass = lumped * T if Mmat is None else Mmat.spmv(T)
+            step_rhs = rhs_const + old_mass / dt
+            if qdot_fn is not None:
+                # implicit Euler: the source is taken at the NEW time level
+                step_rhs = step_rhs + _source_rhs_at(t + dt)
+            rhs = fbc.apply(step_rhs)
             x0 = fbc.warm_start(T)
             if steps == 0:
                 # anchor later steps' absolute tolerance at step one's

@@ -57,6 +57,22 @@ def _setup_jax():
     return jax
 
 
+def reference_roofline_estimate(n_dofs: int, nnz: int) -> float:
+    """Estimated seconds for the reference's A100 pipeline on this system.
+
+    Bandwidth-roofline model of CUDA BSR atomic assembly
+    (reference femutils/BSRFormat.h:842-898) + fp64 Hypre BoomerAMG-PCG
+    (HypreDoFLinearSystem.cc:686-742) to rtol 1e-8, with every constant at
+    the A100-favourable end; derivation + sources in BASELINE.md
+    ("Reference-path roofline estimate").  AMG setup excluded on both
+    sides (separate HypreSetup phase).
+    """
+    ref_assembly_s = n_dofs / 400e6          # 400 MDoF/s atomic assembly
+    spmv_bytes = 12 * nnz + 16 * n_dofs      # fp64 CSR + x gather + y write
+    ref_iter_s = 7 * spmv_bytes / 1.4e12     # 7 SpMV-equivalents @1.4TB/s
+    return ref_assembly_s + 14 * ref_iter_s  # 14 PCG iterations
+
+
 def bench_structured() -> dict:
     jax = _setup_jax()
 
@@ -228,6 +244,9 @@ def bench_structured() -> dict:
         "value": round(total, 4),
         "assembly_mdofs": round(asm_mdofs, 1),
         "iterations": iters,
+        "n_dofs": box.n_nodes,
+        # 15-offset Kuhn stencil = the stored operator (structured.py:6-9)
+        "nnz_stored": 15 * box.n_nodes,
     }
 
 
@@ -385,6 +404,8 @@ def bench_unstructured() -> dict:
         "assembly_mdofs": round(asm_mdofs, 1),
         "amg_setup_s": round(setup_s, 1),
         "iterations": iters,
+        "n_dofs": int(n),
+        "nnz_stored": int(topo.nnz),
     }
     if spmv_ratio is not None:
         out["spmv_vs_xla_gather"] = round(spmv_ratio, 1)
@@ -725,11 +746,22 @@ def main():
         extra["secondary_metric"] = box["metric"]
         extra["secondary_value"] = box["value"]
         extra["secondary_assembly_mdofs"] = box["assembly_mdofs"]
+    # vs_baseline: the A100 roofline estimate of the reference's own GPU
+    # pipeline on this exact system (BASELINE.md "Reference-path roofline
+    # estimate"); >1 means the TPU build beats the estimate
+    vs = None
+    if "n_dofs" in primary and "nnz_stored" in primary:
+        ref_s = reference_roofline_estimate(
+            primary["n_dofs"], primary["nnz_stored"]
+        )
+        vs = round(ref_s / primary["value"], 3)
+        extra["baseline_kind"] = "a100-roofline-estimate"
+        extra["baseline_estimate_s"] = round(ref_s, 4)
     out = {
         "metric": primary["metric"],
         "value": primary["value"],
         "unit": "s",
-        "vs_baseline": None,
+        "vs_baseline": vs,
         "extra": extra,
     }
     print(json.dumps(out))
