@@ -266,7 +266,7 @@ jax.tree_util.register_pytree_node(
     jax.tree_util.register_dataclass,
     data_fields=["mats", "inv_diags", "pcols", "pvals", "ptcols", "ptvals",
                  "coarse_inv", "p_apply", "pt_apply"],
-    meta_fields=["nu", "omegas"],
+    meta_fields=["nu", "omegas", "smoother", "cheb_deg", "rhos"],
 )
 @dataclass
 class AMGPrecond:
@@ -291,12 +291,42 @@ class AMGPrecond:
     # einsum transfers dominate the V-cycle at 300k+ dofs
     p_apply: tuple = ()
     pt_apply: tuple = ()
+    # "jacobi": nu damped-Jacobi sweeps pre+post.  "chebyshev": degree-
+    # cheb_deg Chebyshev polynomial in D^-1 A targeting [rho/4, 1.1 rho]
+    # (the Hypre/AMGX GPU-standard smoother; rho estimates in `rhos`)
+    smoother: str = "jacobi"
+    cheb_deg: int = 2
+    rhos: tuple = ()
 
     def _smooth0(self, l: int, b, sweeps: int):
         om = jnp.asarray(self.omegas[l], b.dtype)
         x = om * self.inv_diags[l] * b
         for _ in range(sweeps - 1):
             x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
+        return x
+
+    def _cheb_params(self, l: int):
+        lmax = 1.1 * self.rhos[l]
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        return theta, delta, theta / delta
+
+    def _smooth_cheb(self, l: int, b, x=None):
+        """x_out = x + p(D^-1 A)·D^-1·(b − A x), three-term recurrence."""
+        theta, delta, sigma = self._cheb_params(l)
+        inv_d = self.inv_diags[l]
+        Al = self.mats[l]
+        r = b if x is None else b - Al.spmv(x)
+        d = inv_d * r / theta
+        x = d if x is None else x + d
+        rho_old = 1.0 / sigma
+        for _ in range(self.cheb_deg - 1):
+            r = b - Al.spmv(x)
+            rho_new = 1.0 / (2.0 * sigma - rho_old)
+            d = (rho_new * rho_old) * d + (2.0 * rho_new / delta) * inv_d * r
+            x = x + d
+            rho_old = rho_new
         return x
 
     def _transfer_down(self, l: int, r):
@@ -312,11 +342,16 @@ class AMGPrecond:
     def _vcycle(self, l: int, b):
         if l == len(self.mats):
             return self.coarse_inv @ b
-        x = self._smooth0(l, b, self.nu)
+        if self.smoother == "chebyshev":
+            x = self._smooth_cheb(l, b)
+        else:
+            x = self._smooth0(l, b, self.nu)
         r = b - self.mats[l].spmv(x)
         rc = self._transfer_down(l, r)
         xc = self._vcycle(l + 1, rc)
         x = x + self._transfer_up(l, xc)
+        if self.smoother == "chebyshev":
+            return self._smooth_cheb(l, b, x)
         om = jnp.asarray(self.omegas[l], b.dtype)
         for _ in range(self.nu):
             x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
@@ -335,6 +370,8 @@ def build_amg(
     omega: float = 4.0 / 3.0,  # smoother damping NUMERATOR: ω_l = omega/ρ_l
     use_pallas: bool = True,
     nullspace: np.ndarray | None = None,
+    smoother: str = "jacobi",
+    cheb_deg: int = 2,
 ) -> AMGPrecond:
     """Host-side setup: strength -> aggregation -> Galerkin, per level.
 
@@ -660,4 +697,7 @@ def build_amg(
         omegas=tuple(omega / r for r in rhos),
         p_apply=tuple(p_apply),
         pt_apply=tuple(pt_apply),
+        smoother=smoother,
+        cheb_deg=cheb_deg,
+        rhos=tuple(float(r) for r in rhos),
     )

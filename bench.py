@@ -343,7 +343,14 @@ def bench_unstructured() -> dict:
     x0 = jnp.asarray(np.where(mask, gv, 0.0).astype(dtype))
 
     t0 = time.time()
-    M = build_amg(A)
+    # BENCH_AMG_SMOOTHER=chebyshev: 40->25 iters at 268k nodes on CPU for
+    # the same fine-level SpMV budget (fewer dots/transfers per solve);
+    # net TPU effect to be measured on hardware, so opt-in for now
+    M = build_amg(
+        A,
+        smoother=os.environ.get("BENCH_AMG_SMOOTHER", "jacobi"),
+        cheb_deg=int(os.environ.get("BENCH_AMG_CHEB_DEG", "2")),
+    )
     setup_s = time.time() - t0
     log(f"[unstr] AMG setup (host) {setup_s:.1f}s, "
         f"levels={[m.topo.n_nodes for m in M.mats]}")

@@ -182,3 +182,18 @@ def test_rbm_tentative_exactly_interpolates_nullspace():
     sel = np.repeat(agg >= 0, 2)
     np.testing.assert_allclose(got[sel], want[sel], rtol=1e-10, atol=1e-12)
     assert np.all(got[~sel] == 0.0)
+
+
+def test_amg_chebyshev_smoother():
+    """Chebyshev(2) level smoother: same solution, fewer PCG iterations
+    than the damped-Jacobi V(1,1) (measured 40->25 at 268k nodes)."""
+    A, rhs, x0 = _poisson_system()
+
+    Mj = build_amg(A, use_pallas=False)
+    xj, kj, _ = pcg(A, rhs, Mj, x0, 1e-10, 0.0, 3000)
+
+    Mc = build_amg(A, use_pallas=False, smoother="chebyshev", cheb_deg=2)
+    xc, kc, rc = pcg(A, rhs, Mc, x0, 1e-10, 0.0, 3000)
+
+    assert int(kc) <= int(kj), f"cheb {int(kc)} vs jacobi {int(kj)}"
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xj), atol=2e-7)
