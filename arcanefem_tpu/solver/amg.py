@@ -372,6 +372,8 @@ def build_amg(
     nullspace: np.ndarray | None = None,
     smoother: str = "jacobi",
     cheb_deg: int = 2,
+    trunc_kmax: int = 8,
+    trunc_rel: float = 0.05,
 ) -> AMGPrecond:
     """Host-side setup: strength -> aggregation -> Galerkin, per level.
 
@@ -574,7 +576,8 @@ def build_amg(
         Dinv = sp.diags(1.0 / np.where(dd == 0, 1.0, dd))
         rhos.append(rho_est((Dinv @ cur).tocsr()))
         P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho_f) * DAf) @ T
-        P = truncate_rows(P.tocsr(), rescale=not used_rbm)
+        P = truncate_rows(P.tocsr(), kmax=trunc_kmax, rel=trunc_rel,
+                          rescale=not used_rbm)
         nxt = (P.T @ cur @ P).tocsr()
         nxt.sum_duplicates()
 
