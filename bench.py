@@ -41,6 +41,42 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_probed = {"done": False}
+
+
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Force CPU if the default backend can't initialize promptly.
+
+    When the axon TPU tunnel is down, backend init HANGS for tens of
+    minutes (observed 2026-08-17).  Probe in a killable subprocess once;
+    on failure flip this process to the CPU platform so the bench still
+    emits its JSON line (same discipline as __graft_entry__'s bounded
+    probe)."""
+    if _probed["done"]:
+        return
+    _probed["done"] = True
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode == 0:
+            return
+        log("[bench] backend probe failed; forcing CPU")
+    except subprocess.TimeoutExpired:
+        log(f"[bench] backend probe hung >{timeout_s}s (TPU tunnel down?); "
+            "forcing CPU")
+    except Exception as e:
+        log(f"[bench] backend probe error ({e!r}); forcing CPU")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _setup_jax():
     import jax
 
@@ -48,6 +84,8 @@ def _setup_jax():
         # env-var platform selection is ignored once the axon TPU plugin
         # registers; the config update is the reliable opt-out
         jax.config.update("jax_platforms", "cpu")
+    else:
+        _probe_backend()
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
@@ -731,6 +769,16 @@ def main():
 
     skip_unstr = os.environ.get("BENCH_UNSTR", "1") != "1"
     skip_box = os.environ.get("BENCH_BOX", "1") != "1"
+
+    if not skip_unstr and os.environ.get("BENCH_UNSTR") != "force":
+        # XLA:CPU compiles the AMG-PCG apply pathologically slowly (>15
+        # min observed) — without a TPU the structured metric is the only
+        # one that completes promptly.  BENCH_UNSTR=force overrides.
+        jax = _setup_jax()
+        if jax.devices()[0].platform != "tpu":
+            log("[bench] no TPU backend; skipping the unstructured "
+                "primary (BENCH_UNSTR=force to override)")
+            skip_unstr, skip_box = True, False
 
     unstr = None
     if not skip_unstr:

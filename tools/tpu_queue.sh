@@ -1,0 +1,45 @@
+#!/bin/bash
+# TPU-blocked measurement queue (ROADMAP.md "Next" 1a-1c).  Run when the
+# axon tunnel is back: probes the backend first, then works through the
+# queue, logging everything under $OUT.  Each step is bounded so one hang
+# cannot eat the session.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${OUT:-/tmp/tpu_queue_results}
+mkdir -p "$OUT"
+
+echo "== probe =="
+if ! timeout 180 python -c "import jax; d=jax.devices(); print(d); assert d[0].platform=='tpu'" \
+    > "$OUT/probe.log" 2>&1; then
+  echo "TPU backend not reachable (see $OUT/probe.log); aborting"
+  exit 1
+fi
+cat "$OUT/probe.log"
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "== $name =="
+  if timeout "$tmo" env "$@" > "$OUT/$name.json" 2> "$OUT/$name.err"; then
+    tail -1 "$OUT/$name.json"
+  else
+    echo "FAILED rc=$? (see $OUT/$name.err)"; tail -3 "$OUT/$name.err"
+  fi
+}
+
+# 1. headline bench (unstructured 2.1M primary + structured 11.4M secondary)
+run bench_default 3600 python bench.py
+
+# 2. Chebyshev AMG smoother A/B on the unstructured primary (40->25 iters
+#    at 268k on CPU; flip the default in bench.py if this wins end-to-end)
+run bench_cheb 3600 BENCH_BOX=0 BENCH_AMG_SMOOTHER=chebyshev python bench.py
+run bench_cheb3 3600 BENCH_BOX=0 BENCH_AMG_SMOOTHER=chebyshev BENCH_AMG_CHEB_DEG=3 python bench.py
+
+# 3. stability gate for the fused structured composition
+run stability 3600 python bench.py --stability 3
+
+# 4. the 10M-DoF unstructured north-star (topology cache under /tmp makes
+#    the second run fast; first run pays ~15 min of host sparsity build
+#    unless /tmp/afem_meshes is still warm)
+run bench_10m 7200 BENCH_UNSTR_H=6 BENCH_UNSTR_REFINE=3 BENCH_BOX=0 python bench.py
+
+echo "== done: results in $OUT =="
