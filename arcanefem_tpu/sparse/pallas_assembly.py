@@ -26,7 +26,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .pallas_spmv import gather_sum_rows, plan_windows_from_cols
+from .pallas_spmv import (
+    PlannedGather,
+    gather_sum_rows,
+    plan_windows_from_cols,
+)
 from .topology import Topology
 
 
@@ -83,3 +87,49 @@ class PallasAssembler:
             [mats[k].reshape(-1) for k in self.topo.slot_maps]
         )
         return gather_sum_rows(self.plan, ke, weights=self._weights)
+
+
+class SortedEntryAssembler:
+    """BELL assembly as a width-capped split window gather (ChainedGather).
+
+    The round-2 successor of PallasAssembler for 3D meshes: its dense
+    (n_slots, K) source map is ~9 GB at 2.1M nodes (K = max cells per
+    node ≈ 30 on tetra meshes), and jax.ops.segment_sum lowers to scatter
+    at ~0.07 Gelem/s (testlab_tpu_v5e.json: 88 ms for 6.1M entries).
+    Here entries are argsorted by slot ONCE on the host and the reduction
+    becomes PlannedGather.build_csr(order, ptr): subrows of ≤wcap sources
+    swept by the window kernel, then a tiny second-stage sum — the exact
+    mechanism the wide-row SpMV already uses (pallas_spmv.ChainedGather).
+    Locality: cells sorted by min node (utils/ordering.renumber_mesh)
+    make each slot block's source entries sit in a narrow window of the
+    cell-major entry array.
+
+    Role reference: the CUDA atomic assembly BSRFormat.h:842-898; the
+    sort+scan discipline mirrors computeSparsityAtomic's packed-edge sort
+    (BSRFormat.h:602-688) moved to plan time.
+    """
+
+    def __init__(self, topo: Topology, wcap: int = 8,
+                 max_window: int = 128 * 1024):
+        self.topo = topo
+        slots = np.concatenate(
+            [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
+        ).astype(np.int64)
+        order = np.argsort(slots, kind="stable")
+        counts = np.bincount(slots, minlength=topo.n_slots)
+        ptr = np.zeros(topo.n_slots + 1, np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        self.plan = PlannedGather.build_csr(
+            order, ptr, wcap=wcap, max_window=max_window
+        )
+
+    @property
+    def available(self) -> bool:
+        return self.plan is not None
+
+    def __call__(self, ke_flat: jnp.ndarray) -> jnp.ndarray:
+        """ke_flat: flat cell-major element-matrix entries, concatenated
+        over cell types in topo.slot_maps order (entry id = base_ct +
+        c*npc² + i*npc + j).  Returns (N, W) BELL values."""
+        t = self.topo
+        return self.plan(ke_flat).reshape(t.n_nodes, t.width)

@@ -418,6 +418,24 @@ class PlannedGather:
             n_rows=n, width=W, need_rows=plan.need_rows,
         )
 
+    @staticmethod
+    def build_csr(indices: np.ndarray, indptr: np.ndarray,
+                  block_rows: int | None = None,
+                  max_window: int = 128 * 1024, wcap: int = 8,
+                  weights: np.ndarray | None = None):
+        """y[r] = Σ_{k∈[indptr[r],indptr[r+1])} weights[k]·table[indices[k]]
+        from CSR-style entry lists (no dense (n, K) intermediate).  Rows
+        wider than wcap split into subrows (ChainedGather).  Returns None
+        when no window plan exists."""
+        indptr = np.asarray(indptr, np.int64)
+        n = len(indptr) - 1
+        deg = np.diff(indptr)
+        ccols = np.asarray(indices, np.int64)
+        cvals = (np.ones(len(ccols), np.float32) if weights is None
+                 else np.asarray(weights, np.float32))
+        return _build_split_compact(ccols, cvals, deg, n, block_rows,
+                                    max_window, wcap)
+
     def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
         G, slot_rows, nb = self.key
         R = G * LANE // self.width
@@ -477,9 +495,18 @@ def _build_split(cols, w_np, real, deg, block_rows, max_window, wcap):
     n, _ = cols.shape
     cols = np.asarray(cols, np.int64)
     # row-major compaction of the real entries
-    rows = np.repeat(np.arange(n), deg)
     ccols = cols[real]
     cvals = w_np[real]
+    return _build_split_compact(ccols, cvals, deg, n, block_rows,
+                                max_window, wcap)
+
+
+def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap):
+    """_build_split on already-compacted CSR-style entries: row r owns
+    ccols/cvals[deg[:r].sum() : deg[:r+1].sum()].  Avoids materializing the
+    dense (n, K) cols/weights — at assembly scale (n_slots=38M, K≈30 on
+    the 2.1M sphere_cut) the dense form alone is ~9 GB."""
+    rows = np.repeat(np.arange(n), deg)
     nsub = np.maximum(1, -(-deg // wcap))
     total = int(nsub.sum())
     sub_start = np.concatenate([[0], np.cumsum(nsub)])

@@ -238,3 +238,76 @@ def test_planned_gather_empty_rows():
     ref = (w * table[cols]).sum(axis=1)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
     assert np.all(got[::7] == 0.0)
+
+
+def test_build_csr_matches_dense_split():
+    """PlannedGather.build_csr (CSR input, no dense (n,K) intermediate)
+    encodes the same linear map as the dense wide-row build."""
+    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather, PlannedGather
+
+    rng = np.random.RandomState(3)
+    n, W = 2500, 21
+    cols = (np.arange(n)[:, None] * 5 + rng.randint(0, 48, (n, W))) % (5 * n)
+    deg = rng.randint(0, W + 1, n)  # includes empty rows
+    w = np.ones((n, W), np.float32)
+    w[np.arange(W)[None, :] >= deg[:, None]] = 0.0
+    dense = PlannedGather.build(cols, w, wcap=8)
+    # CSR form of the same map (weights all-ones)
+    real = w != 0.0
+    indices = cols[real]
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(real.sum(axis=1), out=indptr[1:])
+    csr = PlannedGather.build_csr(indices, indptr, wcap=8)
+    assert isinstance(csr, ChainedGather)
+    table = rng.rand(5 * n).astype(np.float32)
+    np.testing.assert_allclose(
+        _emulate(csr, table), _emulate(dense, table), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_sorted_entry_assembler_matches_segment_sum():
+    """SortedEntryAssembler's plan (emulated) == segment_sum assembly."""
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.sparse.pallas_assembly import SortedEntryAssembler
+
+    mesh = box_tetra_mesh(7, 6, 5)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    mesh = renumber_mesh(
+        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
+    )
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    sea = SortedEntryAssembler(topo)
+    assert sea.available
+    rng = np.random.RandomState(4)
+    E = sum(m.size for m in topo.slot_maps.values())
+    ke = rng.rand(E).astype(np.float32)
+    slots = np.concatenate(
+        [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
+    )
+    want = np.zeros(topo.n_slots, np.float64)
+    np.add.at(want, slots, ke)
+    got = _emulate(sea.plan, ke)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU"
+)
+def test_lane_assembler_window_matches_segsum_on_tpu():
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.ops.lane_assembly import TetraLaneAssembler
+
+    mesh = box_tetra_mesh(12, 11, 10)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    mesh = renumber_mesh(
+        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
+    )
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    conn = mesh.cells["tetra4"]
+    coords = jnp.asarray(mesh.coords.astype(np.float32))
+    a_seg = TetraLaneAssembler(topo, conn, reduce="segsum")
+    a_win = TetraLaneAssembler(topo, conn, reduce="window")
+    assert a_win.reducer is not None
+    v1 = np.asarray(a_seg(coords))
+    v2 = np.asarray(a_win(coords))
+    np.testing.assert_allclose(v2, v1, rtol=3e-5, atol=1e-6)

@@ -34,6 +34,14 @@ run bench_default 3600 python bench.py
 run bench_cheb 3600 BENCH_BOX=0 BENCH_AMG_SMOOTHER=chebyshev python bench.py
 run bench_cheb3 3600 BENCH_BOX=0 BENCH_AMG_SMOOTHER=chebyshev BENCH_AMG_CHEB_DEG=3 python bench.py
 
+# 2b. window-gather assembly A/B (segment_sum scatter measured 0.07
+#     Gelem/s on v5e -> ~2.8 s at the 2.1M primary; the split window
+#     gather should cut this by >10x.  Flip AFEM_UNSTR_ASM default in
+#     lane_assembly.py if it wins; parity test:
+#     tests/test_pallas_spmv.py::test_lane_assembler_window_matches_segsum_on_tpu)
+run bench_asm_window 3600 BENCH_BOX=0 AFEM_UNSTR_ASM=window python bench.py
+run test_asm_parity 1800 python -m pytest tests/test_pallas_spmv.py -q -k on_tpu
+
 # 3. stability gate for the fused structured composition
 run stability 3600 python bench.py --stability 3
 
