@@ -25,6 +25,15 @@ import numpy as np
 from ..sparse.topology import Topology
 
 
+# upper-triangle pair -> packed index 0..9, row-major: (0,0),(0,1),...,(3,3)
+_TRI10 = {
+    (i, j): k
+    for k, (i, j) in enumerate(
+        (i, j) for i in range(4) for j in range(i, 4)
+    )
+}
+
+
 class TetraLaneAssembler:
     """Assemble the P1 tetra stiffness into BELL (n, W) values.
 
@@ -61,7 +70,17 @@ class TetraLaneAssembler:
         if reduce == "window" and on_tpu:
             from ..sparse.pallas_assembly import SortedEntryAssembler
 
-            sea = SortedEntryAssembler(topo)
+            # symmetric packing: ke[i,j] == ke[j,i], so the gather table
+            # carries only the 10 upper-triangle entries per tet (id =
+            # c*10 + packed(i,j)) — 6/16 less table traffic and denser
+            # source windows
+            q2p = np.array(
+                [_TRI10[(min(i, j), max(i, j))]
+                 for i in range(4) for j in range(4)], np.int64
+            )
+            e = np.arange(16 * nc, dtype=np.int64)
+            entry_map = (e // 16) * 10 + q2p[e % 16]
+            sea = SortedEntryAssembler(topo, entry_map=entry_map)
             if sea.available:
                 self.reducer = sea.plan
         # lane-major entry order: e = (i*4+j)*nc + c
@@ -117,6 +136,18 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
     dz = comp(x, y)
     # ke_ij = V * (dx_i dx_j + dy_i dy_j + dz_i dz_j) / (6V)^2; V = |6V|/6
     scale = inv / 6.0  # |6V| / 6 / |6V|^2
+    if reducer is not None:
+        # symmetric: only the 10 upper-triangle entries (ke[i,j]=ke[j,i]),
+        # cell-major flat via one HBM transpose pass, then the split
+        # window gather — scatter-free reduction
+        ke10 = jnp.stack(
+            [
+                (dx[i] * dx[j] + dy[i] * dy[j] + dz[i] * dz[j]) * scale
+                for i in range(4)
+                for j in range(i, 4)
+            ]
+        )  # (10, nc)
+        return reducer(ke10.T.reshape(-1)).reshape(n, W)
     ke = jnp.stack(
         [
             (dx[i] * dx[j] + dy[i] * dy[j] + dz[i] * dz[j]) * scale
@@ -124,10 +155,6 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
             for j in range(4)
         ]
     )  # (16, nc)
-    if reducer is not None:
-        # cell-major flat entries (one HBM transpose pass), then the
-        # split window gather — scatter-free reduction
-        return reducer(ke.T.reshape(-1)).reshape(n, W)
     vals = jax.ops.segment_sum(
         ke.reshape(-1), slot_map_t, num_segments=n_slots
     )

@@ -110,7 +110,13 @@ class SortedEntryAssembler:
     """
 
     def __init__(self, topo: Topology, wcap: int = 8,
-                 max_window: int = 128 * 1024):
+                 max_window: int = 128 * 1024,
+                 entry_map: np.ndarray | None = None):
+        """entry_map: optional (E,) remap of global entry ids into the
+        table the caller will pass to __call__ — e.g. the symmetric
+        packing that redirects lower-triangle ke entries at their upper
+        twins (ke is symmetric), shrinking the table (and the windows)
+        by 6/16 for tetra."""
         self.topo = topo
         slots = np.concatenate(
             [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
@@ -119,8 +125,9 @@ class SortedEntryAssembler:
         counts = np.bincount(slots, minlength=topo.n_slots)
         ptr = np.zeros(topo.n_slots + 1, np.int64)
         np.cumsum(counts, out=ptr[1:])
+        indices = order if entry_map is None else entry_map[order]
         self.plan = PlannedGather.build_csr(
-            order, ptr, wcap=wcap, max_window=max_window
+            indices, ptr, wcap=wcap, max_window=max_window
         )
 
     @property

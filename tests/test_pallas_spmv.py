@@ -311,3 +311,42 @@ def test_lane_assembler_window_matches_segsum_on_tpu():
     v1 = np.asarray(a_seg(coords))
     v2 = np.asarray(a_win(coords))
     np.testing.assert_allclose(v2, v1, rtol=3e-5, atol=1e-6)
+
+
+def test_sorted_entry_assembler_symmetric_packing():
+    """entry_map redirecting lower-triangle ke entries at their upper
+    twins (the lane assembler's 10-entry table) reproduces the full
+    16-entry segment_sum assembly for symmetric element matrices."""
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.sparse.pallas_assembly import SortedEntryAssembler
+
+    mesh = box_tetra_mesh(6, 5, 4)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    mesh = renumber_mesh(
+        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
+    )
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    nc = mesh.cells["tetra4"].shape[0]
+    tri10 = {}
+    for k, (i, j) in enumerate(
+        (i, j) for i in range(4) for j in range(i, 4)
+    ):
+        tri10[(i, j)] = k
+    q2p = np.array(
+        [tri10[(min(i, j), max(i, j))]
+         for i in range(4) for j in range(4)], np.int64
+    )
+    e = np.arange(16 * nc, dtype=np.int64)
+    entry_map = (e // 16) * 10 + q2p[e % 16]
+    sea = SortedEntryAssembler(topo, entry_map=entry_map)
+    assert sea.available
+
+    rng = np.random.RandomState(5)
+    sym = rng.rand(nc, 4, 4).astype(np.float32)
+    sym = sym + sym.transpose(0, 2, 1)  # symmetric element matrices
+    iu = [(i, j) for i in range(4) for j in range(i, 4)]
+    ke10 = np.stack([sym[:, i, j] for (i, j) in iu], axis=1)  # (nc, 10)
+    want = np.zeros(topo.n_slots, np.float64)
+    np.add.at(want, topo.slot_maps["tetra4"].reshape(-1), sym.reshape(-1))
+    got = _emulate(sea.plan, ke10.reshape(-1))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
