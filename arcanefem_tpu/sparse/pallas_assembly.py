@@ -92,17 +92,20 @@ class PallasAssembler:
 class SortedEntryAssembler:
     """BELL assembly as a width-capped split window gather (ChainedGather).
 
-    The round-2 successor of PallasAssembler for 3D meshes: its dense
-    (n_slots, K) source map is ~9 GB at 2.1M nodes (K = max cells per
-    node ≈ 30 on tetra meshes), and jax.ops.segment_sum lowers to scatter
-    at ~0.07 Gelem/s (testlab_tpu_v5e.json: 88 ms for 6.1M entries).
-    Here entries are argsorted by slot ONCE on the host and the reduction
+    Entries are argsorted by slot ONCE on the host and the reduction
     becomes PlannedGather.build_csr(order, ptr): subrows of ≤wcap sources
     swept by the window kernel, then a tiny second-stage sum — the exact
     mechanism the wide-row SpMV already uses (pallas_spmv.ChainedGather).
-    Locality: cells sorted by min node (utils/ordering.renumber_mesh)
-    make each slot block's source entries sit in a narrow window of the
-    cell-major entry array.
+    Beats segment_sum (scatter, ~0.07 Gelem/s on v5e) when a window plan
+    exists.
+
+    **Scale limit (measured on the 2.1M sphere_cut):** the plan exists
+    only for 2D/narrow-band meshes.  In slot order, the sources of 8k
+    consecutive entries span ~1.5–1.9M cell-major positions with NO
+    outlier tail (p50 1.54M vs 98%-quantile 1.54M — a solid band, width
+    ≈ RCM bandwidth × entries/cell), so no VMEM window covers them and
+    `available` is False; callers fall back to segment_sum.  See
+    ROADMAP.md "The scatter tax" for the full analysis.
 
     Role reference: the CUDA atomic assembly BSRFormat.h:842-898; the
     sort+scan discipline mirrors computeSparsityAtomic's packed-edge sort
