@@ -395,6 +395,29 @@ def bench_unstructured() -> dict:
 
     Ap = M.mats[0] if (M.mats and hasattr(M.mats[0], "gather")) \
         else as_pallas_matrix(A)
+    if os.environ.get("BENCH_UNSTR_SPMV") == "supernode":
+        # supernode-blocked fine operator (sparse/supernode.py): trades
+        # 11x block fill for ~9x less gather sweep work; wraps BOTH the
+        # CG operator and the AMG fine level
+        from dataclasses import replace as _dc_replace
+
+        from arcanefem_tpu.sparse.supernode import (
+            SupernodeMatrix,
+            SupernodeSpmv,
+        )
+
+        t0 = time.time()
+        sn = SupernodeSpmv.build(A, mesh.coords)
+        if sn is not None:
+            snm = SupernodeMatrix(sn, A.diagonal())
+            Ap = snm
+            if M.mats:
+                M = _dc_replace(M, mats=(snm,) + tuple(M.mats[1:]))
+            log(f"[unstr] supernode plan {time.time()-t0:.1f}s "
+                f"({sn.blocks.shape[0]:,} blocks, "
+                f"{sn.blocks.nbytes/1e9:.2f} GB)")
+        else:
+            log("[unstr] supernode plan unavailable; keeping window SpMV")
     t0 = time.time()
     x, iters, res = pcg(Ap, b, M, x0, rtol, 0.0, 1000, use_precise_dot=True)
     s = float(jnp.sum(x))

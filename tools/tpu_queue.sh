@@ -42,6 +42,11 @@ run bench_cheb3 3600 BENCH_BOX=0 BENCH_AMG_SMOOTHER=chebyshev BENCH_AMG_CHEB_DEG
 run bench_asm_window 3600 BENCH_BOX=0 AFEM_UNSTR_ASM=window python bench.py
 run test_asm_parity 1800 python -m pytest tests/test_pallas_spmv.py -q -k on_tpu
 
+# 2c. supernode-blocked SpMV A/B (sparse/supernode.py: ~9x less sweep
+#     work for 11x block fill — model says ~6-9x net; parity test gated)
+run bench_supernode 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=supernode python bench.py
+run test_supernode 1800 python -m pytest tests/test_supernode.py -q
+
 # 3. stability gate for the fused structured composition
 run stability 3600 python bench.py --stability 3
 
