@@ -312,8 +312,25 @@ def bench_unstructured() -> dict:
     log(f"[unstr] mesh {mesh.n_nodes:,} nodes / {mesh.n_cells:,} tets "
         f"({time.time()-t0:.1f}s)")
 
+    supernode = os.environ.get("BENCH_UNSTR_SPMV") == "supernode"
+    key = f"sphere_cut_v2_h{h:g}_r{refine}"
+    if supernode:
+        # supernode blocking needs its own node order (spatial bricks +
+        # brick-graph RCM, sparse/supernode.py) so supernodes are
+        # consecutive 8-chunks; re-permute the cached RCM mesh
+        from arcanefem_tpu.sparse.supernode import supernode_order
+        from arcanefem_tpu.utils.ordering import renumber_mesh
+
+        t0 = time.time()
+        topo_rcm = _load_topology(mesh, key)
+        mesh = renumber_mesh(
+            mesh, supernode_order(topo_rcm, mesh.coords)
+        )
+        key += "_sn"
+        log(f"[unstr] supernode reorder {time.time()-t0:.1f}s")
+
     t0 = time.time()
-    topo = _load_topology(mesh, f"sphere_cut_v2_h{h:g}_r{refine}")
+    topo = _load_topology(mesh, key)
     log(f"[unstr] topology W={topo.width} nnz={topo.nnz:,} "
         f"({time.time()-t0:.1f}s)")
 
@@ -395,10 +412,10 @@ def bench_unstructured() -> dict:
 
     Ap = M.mats[0] if (M.mats and hasattr(M.mats[0], "gather")) \
         else as_pallas_matrix(A)
-    if os.environ.get("BENCH_UNSTR_SPMV") == "supernode":
+    if supernode:
         # supernode-blocked fine operator (sparse/supernode.py): trades
-        # 11x block fill for ~9x less gather sweep work; wraps BOTH the
-        # CG operator and the AMG fine level
+        # ~10.6x block fill for ~9x less gather sweep work; wraps BOTH
+        # the CG operator and the AMG fine level
         from dataclasses import replace as _dc_replace
 
         from arcanefem_tpu.sparse.supernode import (
@@ -407,7 +424,7 @@ def bench_unstructured() -> dict:
         )
 
         t0 = time.time()
-        sn = SupernodeSpmv.build(A, mesh.coords)
+        sn = SupernodeSpmv.build(A)
         if sn is not None:
             snm = SupernodeMatrix(sn, A.diagonal())
             Ap = snm

@@ -1,5 +1,5 @@
-"""Supernode-blocked SpMV (sparse/supernode.py): plan + numerics on CPU,
-kernel parity gated on TPU."""
+"""Supernode-blocked SpMV (sparse/supernode.py): ordering + plan +
+numerics on CPU, kernel parity gated on TPU."""
 
 import numpy as np
 import pytest
@@ -10,9 +10,9 @@ import jax.numpy as jnp
 from arcanefem_tpu.fem.problem import FemProblem
 from arcanefem_tpu.mesh.generate import box_tetra_mesh
 from arcanefem_tpu.ops import elements
-from arcanefem_tpu.sparse.supernode import SupernodeSpmv, geometric_supernodes
+from arcanefem_tpu.sparse.supernode import SupernodeSpmv, supernode_order
 from arcanefem_tpu.sparse.topology import build_topology
-from arcanefem_tpu.utils.ordering import rcm_order, renumber_mesh
+from arcanefem_tpu.utils.ordering import renumber_mesh
 
 from test_pallas_spmv import _emulate
 
@@ -20,29 +20,41 @@ from test_pallas_spmv import _emulate
 def _system(nx=9, ny=8, nz=7):
     mesh = box_tetra_mesh(nx, ny, nz)
     t0 = build_topology(mesh.n_nodes, mesh.cells)
-    mesh = renumber_mesh(
-        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
-    )
+    perm = supernode_order(t0, mesh.coords)
+    mesh = renumber_mesh(mesh, perm)
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
     prob = FemProblem(mesh, ndof=1, dtype=np.float32)
     A = prob.assemble_matrix(lambda ct, xyz: elements.stiffness(ct, xyz))
     return mesh, A
 
 
-def test_geometric_supernodes_cover_and_bound():
-    mesh, _ = _system()
-    agg, n_sup = geometric_supernodes(mesh.coords)
-    assert agg.min() == 0 and agg.max() == n_sup - 1
-    sizes = np.bincount(agg)
-    assert sizes.max() <= 8
-    # ordered by min member: first occurrence of each id is increasing
-    first = np.full(n_sup, len(agg))
-    np.minimum.at(first, agg, np.arange(len(agg)))
-    assert np.all(np.diff(first) > 0)
+def test_supernode_order_is_permutation():
+    mesh = box_tetra_mesh(6, 5, 4)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    perm = supernode_order(t0, mesh.coords)
+    assert sorted(perm) == list(range(mesh.n_nodes))
+
+
+def test_order_keeps_solution_invariant():
+    """Supernode renumbering must not change the physics."""
+    from arcanefem_tpu.fem.bcs import BoundaryConditions, DirichletBC
+    from arcanefem_tpu.models import poisson
+
+    bcs = BoundaryConditions(
+        dirichlet=[DirichletBC("xmin", 0.0), DirichletBC("xmax", 1.0)]
+    )
+    cfg = poisson.PoissonConfig(f=1.0, bcs=bcs)
+    mesh = box_tetra_mesh(6, 5, 4)
+    r0 = poisson.solve(mesh, cfg)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    perm = supernode_order(t0, mesh.coords)
+    r1 = poisson.solve(renumber_mesh(mesh, perm), cfg)
+    np.testing.assert_allclose(r0.u[perm], r1.u, rtol=1e-9, atol=1e-12)
 
 
 def test_supernode_emulate_matches_bell():
     mesh, A = _system()
-    sn = SupernodeSpmv.build(A, mesh.coords)
+    sn = SupernodeSpmv.build(A)
     assert sn is not None
     rng = np.random.RandomState(0)
     x = rng.rand(mesh.n_nodes).astype(np.float32)
@@ -55,18 +67,20 @@ def test_supernode_plan_faithful():
     """Emulate the DEVICE pipeline stage by stage through the actual
     gather plans (the same emulation used for the window SpMV tests)."""
     mesh, A = _system(7, 6, 5)
-    sn = SupernodeSpmv.build(A, mesh.coords)
+    sn = SupernodeSpmv.build(A)
     assert sn is not None
     rng = np.random.RandomState(1)
     x = rng.rand(mesh.n_nodes).astype(np.float32)
     bs = sn.blocks.shape[1]
-    xb = _emulate(sn.pg_perm, x).reshape(sn.n_sup, bs)
+    xb = np.zeros(sn.n_sup * bs, np.float32)
+    xb[: sn.n] = x
+    xb = xb.reshape(sn.n_sup, bs)
     xg = np.stack([_emulate(sn.pg_cols, xb[:, r]) for r in range(bs)])
     yp = np.einsum("eij,je->ei", np.asarray(sn.blocks), xg)
     yb = np.stack(
         [_emulate(sn.pg_rows, yp[:, i]) for i in range(bs)], axis=1
     )
-    got = _emulate(sn.pg_unperm, yb.reshape(-1))[: sn.n]
+    got = yb.reshape(-1)[: sn.n]
     want = np.asarray(A.spmv(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-5)
 
@@ -76,7 +90,7 @@ def test_supernode_plan_faithful():
 )
 def test_supernode_kernel_matches_bell_on_tpu():
     mesh, A = _system(14, 12, 10)
-    sn = SupernodeSpmv.build(A, mesh.coords)
+    sn = SupernodeSpmv.build(A)
     assert sn is not None
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(mesh.n_nodes).astype(np.float32))
