@@ -317,15 +317,35 @@ def bench_unstructured() -> dict:
     if supernode:
         # supernode blocking needs its own node order (spatial bricks +
         # brick-graph RCM, sparse/supernode.py) so supernodes are
-        # consecutive 8-chunks; re-permute the cached RCM mesh
+        # consecutive 8-chunks; re-permute the cached RCM mesh (and cache
+        # the reordered mesh alongside)
+        from arcanefem_tpu.mesh.core import Mesh
         from arcanefem_tpu.sparse.supernode import supernode_order
         from arcanefem_tpu.utils.ordering import renumber_mesh
 
         t0 = time.time()
-        topo_rcm = _load_topology(mesh, key)
-        mesh = renumber_mesh(
-            mesh, supernode_order(topo_rcm, mesh.coords)
-        )
+        snpath = os.path.join("/tmp/afem_meshes", key + "_snmesh.npz")
+        if os.path.exists(snpath):
+            z = np.load(snpath)
+            mesh = Mesh(
+                coords=z["coords"], node_uids=z["uids"],
+                cells={"tetra4": z["tets"]}, dim=3,
+                face_groups={
+                    "Cut": {"tria3": z["cut"]},
+                    "sphere": {"tria3": z["sphere"]},
+                },
+            )
+        else:
+            topo_rcm = _load_topology(mesh, key)
+            mesh = renumber_mesh(
+                mesh, supernode_order(topo_rcm, mesh.coords)
+            )
+            np.savez(
+                snpath, coords=mesh.coords, uids=mesh.node_uids,
+                tets=mesh.cells["tetra4"],
+                cut=mesh.face_groups["Cut"]["tria3"],
+                sphere=mesh.face_groups["sphere"]["tria3"],
+            )
         key += "_sn"
         log(f"[unstr] supernode reorder {time.time()-t0:.1f}s")
 
