@@ -140,6 +140,16 @@ class SupernodeSpmv:
             n, n_sup, jnp.asarray(blocks), g_cols, g_rows, bcol, bptr, brow
         )
 
+    def as_bf16(self) -> "SupernodeSpmv":
+        """Preconditioner-grade copy: bf16 block storage (halves the block
+        stream), f32 accumulation via preferred_element_type.  Use ONLY
+        inside the V-cycle (smoother/residual) — the CG operator defines
+        the solution and must stay f32."""
+        return SupernodeSpmv(
+            self.n, self.n_sup, self.blocks.astype(jnp.bfloat16),
+            self.pg_cols, self.pg_rows, self._bcol, self._bptr, self._brow,
+        )
+
     # -- application --------------------------------------------------------
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         bs = self.blocks.shape[1]
@@ -148,7 +158,10 @@ class SupernodeSpmv:
         xg = jnp.stack(
             [self.pg_cols(xb[:, r]) for r in range(bs)]
         )  # (bs, nnzb)
-        yp = jnp.einsum("eij,je->ei", self.blocks, xg)  # (nnzb, bs)
+        yp = jnp.einsum(
+            "eij,je->ei", self.blocks, xg.astype(self.blocks.dtype),
+            preferred_element_type=jnp.float32,
+        )  # (nnzb, bs), f32 accumulation even for bf16 blocks
         yb = jnp.stack(
             [self.pg_rows(yp[:, i]) for i in range(bs)], axis=1
         )  # (n_sup, bs)

@@ -449,7 +449,15 @@ def bench_unstructured() -> dict:
             snm = SupernodeMatrix(sn, A.diagonal())
             Ap = snm
             if M.mats:
-                M = _dc_replace(M, mats=(snm,) + tuple(M.mats[1:]))
+                # V-cycle fine level: optionally bf16 block storage —
+                # preconditioner-only precision, halves its block stream
+                vsn = (sn.as_bf16()
+                       if os.environ.get("BENCH_SN_BF16") == "1" else sn)
+                M = _dc_replace(
+                    M,
+                    mats=(SupernodeMatrix(vsn, A.diagonal()),)
+                    + tuple(M.mats[1:]),
+                )
             log(f"[unstr] supernode plan {time.time()-t0:.1f}s "
                 f"({sn.blocks.shape[0]:,} blocks, "
                 f"{sn.blocks.nbytes/1e9:.2f} GB)")

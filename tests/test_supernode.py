@@ -97,3 +97,17 @@ def test_supernode_kernel_matches_bell_on_tpu():
     got = np.asarray(jax.jit(sn.__call__)(x))
     want = np.asarray(A.spmv(x))
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-5)
+
+
+def test_supernode_bf16_copy_close():
+    mesh, A = _system(7, 6, 5)
+    sn = SupernodeSpmv.build(A)
+    lo = sn.as_bf16()
+    assert lo.blocks.dtype == jnp.bfloat16
+    rng = np.random.RandomState(3)
+    x = rng.rand(mesh.n_nodes).astype(np.float32)
+    # emulate with bf16-rounded blocks: preconditioner-grade agreement
+    ref = sn.emulate(x)
+    got = lo.emulate(x)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() or 1.0)
+    assert rel < 2e-2, rel
