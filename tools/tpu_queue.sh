@@ -45,6 +45,8 @@ run test_asm_parity 1800 python -m pytest tests/test_pallas_spmv.py -q -k on_tpu
 # 2c. supernode-blocked SpMV A/B (sparse/supernode.py: ~9x less sweep
 #     work for 11x block fill — model says ~6-9x net; parity test gated)
 run bench_supernode 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=supernode python bench.py
+run bench_supernode_bf16 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=supernode BENCH_SN_BF16=1 python bench.py
+run bench_supernode_cheb 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=supernode BENCH_AMG_SMOOTHER=chebyshev python bench.py
 run test_supernode 1800 python -m pytest tests/test_supernode.py -q
 
 # 3. stability gate for the fused structured composition
