@@ -19,8 +19,11 @@ timing + per-phase solve timers; BASELINE.md's sphere_cut recipe):
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 value = end-to-end seconds (assembly + solve) of the PRIMARY metric;
 smaller is better.  extra carries the secondary metric + phase breakdown.
-The reference publishes no absolute numbers (BASELINE.md), so vs_baseline
-is null.  Phase breakdown goes to stderr.
+The reference publishes no absolute numbers, so vs_baseline is the A100
+ROOFLINE ESTIMATE of the reference's own pipeline on this exact system
+(reference_roofline_estimate; derivation in BASELINE.md), reported as
+estimate/measured — >1 means faster than the estimate.  Phase breakdown
+goes to stderr.
 
 Timing notes: through the axon tunnel, block_until_ready is unreliable, so
 every measurement forces completion with a scalar host fetch and uses a
