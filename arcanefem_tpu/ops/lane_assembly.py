@@ -67,13 +67,15 @@ class TetraLaneAssembler:
             )
         if reduce is None:
             reduce = os.environ.get("AFEM_UNSTR_ASM", "segsum")
+        self.reducer_kind = "segsum"
         if reduce == "window" and on_tpu:
             from ..sparse.pallas_assembly import SortedEntryAssembler
 
             # symmetric packing: ke[i,j] == ke[j,i], so the gather table
             # carries only the 10 upper-triangle entries per tet (id =
             # c*10 + packed(i,j)) — 6/16 less table traffic and denser
-            # source windows
+            # source windows.  NOTE: plans only on narrow-band (2D)
+            # meshes; 3D falls through (ROADMAP "scatter tax").
             q2p = np.array(
                 [_TRI10[(min(i, j), max(i, j))]
                  for i in range(4) for j in range(4)], np.int64
@@ -83,6 +85,14 @@ class TetraLaneAssembler:
             sea = SortedEntryAssembler(topo, entry_map=entry_map)
             if sea.available:
                 self.reducer = sea.plan
+                self.reducer_kind = "window"
+        elif reduce == "reorder" and on_tpu:
+            from ..sparse.pallas_assembly import ReorderedAssembler
+
+            ra = ReorderedAssembler(topo, conn)
+            if ra.available:
+                self.reducer = ra.apply
+                self.reducer_kind = "reorder"
         # lane-major entry order: e = (i*4+j)*nc + c
         sm = np.asarray(topo.slot_maps["tetra4"])  # (nc, 16), cell-major
         self.slot_map_t = jnp.asarray(
@@ -99,7 +109,7 @@ class TetraLaneAssembler:
 
 
 def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
-                   nc, n, W, n_slots):
+                   nc, n, W, n_slots, reducer_kind="segsum"):
     if gather is not None:
         xg = gather(coords[:, 0]).reshape(nc, 4).T
         yg = gather(coords[:, 1]).reshape(nc, 4).T
@@ -137,9 +147,7 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
     # ke_ij = V * (dx_i dx_j + dy_i dy_j + dz_i dz_j) / (6V)^2; V = |6V|/6
     scale = inv / 6.0  # |6V| / 6 / |6V|^2
     if reducer is not None:
-        # symmetric: only the 10 upper-triangle entries (ke[i,j]=ke[j,i]),
-        # cell-major flat via one HBM transpose pass, then the split
-        # window gather — scatter-free reduction
+        # symmetric: only the 10 upper-triangle entries (ke[i,j]=ke[j,i])
         ke10 = jnp.stack(
             [
                 (dx[i] * dx[j] + dy[i] * dy[j] + dz[i] * dz[j]) * scale
@@ -147,6 +155,11 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
                 for j in range(i, 4)
             ]
         )  # (10, nc)
+        if reducer_kind == "reorder":
+            # per-ordered-pair streams straight off the lane-major stack
+            return reducer(ke10)
+        # cell-major flat via one HBM transpose pass, then the split
+        # window gather — scatter-free reduction
         return reducer(ke10.T.reshape(-1)).reshape(n, W)
     ke = jnp.stack(
         [
@@ -163,7 +176,8 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
 
 def _lane_assemble_jit():
     return jax.jit(
-        _assemble_impl, static_argnames=("nc", "n", "W", "n_slots")
+        _assemble_impl,
+        static_argnames=("nc", "n", "W", "n_slots", "reducer_kind"),
     )
 
 
@@ -178,5 +192,5 @@ def lane_assemble(asm: TetraLaneAssembler, coords: jnp.ndarray):
     return _jitted(
         coords.astype(jnp.float32), asm.conn_dev, asm.slot_map_t,
         asm.gather, asm.reducer, nc=asm.n_cells, n=t.n_nodes, W=t.width,
-        n_slots=t.n_slots,
+        n_slots=t.n_slots, reducer_kind=asm.reducer_kind,
     )

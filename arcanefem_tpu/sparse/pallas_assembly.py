@@ -23,6 +23,7 @@ requests by source entry so each request tile touches 1-2 chunks
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,6 +88,123 @@ class PallasAssembler:
             [mats[k].reshape(-1) for k in self.topo.slot_maps]
         )
         return gather_sum_rows(self.plan, ke, weights=self._weights)
+
+
+class ReorderedAssembler:
+    """Scatter-free 3D tetra assembly: per-ordered-pair entry streams.
+
+    SortedEntryAssembler fails on 3D meshes because slot-sorted sources
+    span a solid ~1.5M-entry band of the cell-major entry array (see its
+    docstring).  Separating entries by their LOCAL ordered corner pair
+    (ki, kj) — stream (ki, kj) sorts cells by the destination row
+    conn[:, ki] and gathers from ONE contiguous lane of the (10, nc)
+    lane-major ke table — shrinks each stream's source span to the CELL
+    bandwidth.  Two stages:
+
+      1. 16 permutation gathers — stream (ki,kj) reads ke10[pair_row]
+         in conn[:,ki]-sorted order;
+      2. one width-capped reduce over the concatenated streams
+         (PlannedGather.build_csr) — a slot block's sources sit in ≤16
+         tiny per-stream regions (the planner's multi-window S=16).
+
+    **Measured limit (2.1M sphere_cut): still unplannable.** The stream
+    source span is bw_nodes × cells/node ≈ 16k × 5.9 ≈ 94-111k entries
+    per 16k-request block — a solid band at the 128k window budget, and
+    even if planned the sweep cost (~860 rows/block) models to ~1.4-1.7 s
+    vs segment_sum's 2.8 s.  Every reorder of E entries from cell order
+    to node order pays a bandwidth-proportional window; this class is
+    kept as the documented negative result (it plans on 2D/narrow
+    meshes).  See ROADMAP.md "The scatter tax".
+
+    Role reference: CUDA atomic assembly BSRFormat.h:842-898; the
+    stream-by-corner discipline is the node-wise atomic-free idea
+    (NodeWiseCsrBiliAssembly.cc) turned into plan-time sorts.
+    """
+
+    # upper-triangle pair -> packed 0..9 (row-major), mirrors for j<i
+    _PAIRS = [(i, j) for i in range(4) for j in range(4)]
+
+    def __init__(self, topo: Topology, conn: np.ndarray,
+                 wcap: int = 8, max_window: int = 128 * 1024):
+        self.topo = topo
+        conn = np.asarray(conn, np.int64)
+        nc = conn.shape[0]
+        self.n_cells = nc
+        tri10 = {}
+        for k, (i, j) in enumerate(
+            (i, j) for i in range(4) for j in range(i, 4)
+        ):
+            tri10[(i, j)] = k
+        sm = np.asarray(
+            topo.slot_maps["tetra4"], np.int64
+        ).reshape(conn.shape[0], 16)  # cell-major, q = i*4+j
+
+        ones = np.ones((nc, 1), np.float32)
+        plans, rows10, dest = [], [], []
+        for q16, (ki, kj) in enumerate(self._PAIRS):
+            order = np.argsort(conn[:, ki], kind="stable")
+            p = PlannedGather.build(
+                order.reshape(-1, 1), ones,
+                max_window=max_window, wcap=0,
+            )
+            if p is None:
+                self.plans = None
+                return
+            plans.append(p)
+            rows10.append(tri10[(min(ki, kj), max(ki, kj))])
+            dest.append(sm[order, q16])
+        slots = np.concatenate(dest)  # (16·nc,) concat-layout destinations
+        order2 = np.argsort(slots, kind="stable")
+        counts = np.bincount(slots, minlength=topo.n_slots)
+        ptr = np.zeros(topo.n_slots + 1, np.int64)
+        np.cumsum(counts, out=ptr[1:])
+        self.reduce = PlannedGather.build_csr(
+            order2, ptr, wcap=wcap, max_window=max_window
+        )
+        self.plans = None if self.reduce is None else plans
+        self.rows10 = rows10
+        # host copies for emulation
+        self._dest = dest
+
+    @property
+    def available(self) -> bool:
+        return self.plans is not None
+
+    @property
+    def apply(self) -> "_ReorderedApply":
+        """Pytree-shaped callable for passing through jit boundaries."""
+        t = self.topo
+        return _ReorderedApply(
+            self.plans, self.reduce, self.rows10, t.n_nodes, t.width
+        )
+
+    def __call__(self, ke10: "jnp.ndarray") -> "jnp.ndarray":
+        """ke10: (10, nc) lane-major upper-triangle element entries.
+        Returns (N, W) BELL values."""
+        return self.apply(ke10)
+
+
+class _ReorderedApply:
+    """Pytree-shaped apply closure of a ReorderedAssembler: callable on
+    the (10, nc) lane-major ke stack, returns (N, W)."""
+
+    def __init__(self, plans, reduce, rows10, n, w):
+        self.plans = tuple(plans)
+        self.reduce = reduce
+        self.rows10 = tuple(rows10)
+        self.n = n
+        self.w = w
+
+    def __call__(self, ke10):
+        segs = [p(ke10[r]) for p, r in zip(self.plans, self.rows10)]
+        return self.reduce(jnp.concatenate(segs)).reshape(self.n, self.w)
+
+
+jax.tree_util.register_pytree_node(
+    _ReorderedApply,
+    lambda m: ((m.plans, m.reduce), (m.rows10, m.n, m.w)),
+    lambda meta, data: _ReorderedApply(data[0], data[1], *meta),
+)
 
 
 class SortedEntryAssembler:

@@ -91,7 +91,7 @@ def plan_windows(
     )
 
 
-_SLOT_CANDIDATES = (1, 2, 3, 4, 6, 8)
+_SLOT_CANDIDATES = (1, 2, 3, 4, 6, 8, 12, 16)
 
 
 def plan_windows_from_cols(

@@ -350,3 +350,60 @@ def test_sorted_entry_assembler_symmetric_packing():
     np.add.at(want, topo.slot_maps["tetra4"].reshape(-1), sym.reshape(-1))
     got = _emulate(sea.plan, ke10.reshape(-1))
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
+
+
+def test_reordered_assembler_matches_segment_sum():
+    """ReorderedAssembler (16 per-pair streams + multi-window reduce),
+    emulated stage by stage, == full 16-entry segment_sum assembly."""
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.sparse.pallas_assembly import ReorderedAssembler
+
+    mesh = box_tetra_mesh(7, 6, 5)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    mesh = renumber_mesh(
+        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
+    )
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    conn = mesh.cells["tetra4"]
+    nc = conn.shape[0]
+    ra = ReorderedAssembler(topo, conn)
+    assert ra.available
+
+    rng = np.random.RandomState(7)
+    sym = rng.rand(nc, 4, 4).astype(np.float32)
+    sym = sym + sym.transpose(0, 2, 1)
+    iu = [(i, j) for i in range(4) for j in range(i, 4)]
+    ke10 = np.stack([sym[:, i, j] for (i, j) in iu])  # (10, nc)
+
+    segs = [
+        _emulate(p, ke10[r]) for p, r in zip(ra.plans, ra.rows10)
+    ]
+    got = _emulate(ra.reduce, np.concatenate(segs))
+    want = np.zeros(topo.n_slots, np.float64)
+    np.add.at(want, topo.slot_maps["tetra4"].reshape(-1), sym.reshape(-1))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU"
+)
+def test_lane_assembler_reorder_matches_segsum_on_tpu():
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.ops.lane_assembly import TetraLaneAssembler
+
+    mesh = box_tetra_mesh(12, 11, 10)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    mesh = renumber_mesh(
+        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
+    )
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    conn = mesh.cells["tetra4"]
+    coords = jnp.asarray(mesh.coords.astype(np.float32))
+    a_seg = TetraLaneAssembler(topo, conn, reduce="segsum")
+    a_re = TetraLaneAssembler(topo, conn, reduce="reorder")
+    assert a_re.reducer is not None
+    v1 = np.asarray(a_seg(coords))
+    v2 = np.asarray(a_re(coords))
+    np.testing.assert_allclose(v2, v1, rtol=3e-5, atol=1e-6)
