@@ -315,7 +315,9 @@ def bench_unstructured() -> dict:
     log(f"[unstr] mesh {mesh.n_nodes:,} nodes / {mesh.n_cells:,} tets "
         f"({time.time()-t0:.1f}s)")
 
-    supernode = os.environ.get("BENCH_UNSTR_SPMV") == "supernode"
+    # supernode operator is the default (guarded by an on-device parity
+    # self-check below); BENCH_UNSTR_SPMV=window keeps the scalar kernel
+    supernode = os.environ.get("BENCH_UNSTR_SPMV", "supernode") == "supernode"
     key = f"sphere_cut_v2_h{h:g}_r{refine}"
     if supernode:
         # supernode blocking needs its own node order (spatial bricks +
@@ -421,12 +423,12 @@ def bench_unstructured() -> dict:
     x0 = jnp.asarray(np.where(mask, gv, 0.0).astype(dtype))
 
     t0 = time.time()
-    # BENCH_AMG_SMOOTHER=chebyshev: 40->25 iters at 268k nodes on CPU for
-    # the same fine-level SpMV budget (fewer dots/transfers per solve);
-    # net TPU effect to be measured on hardware, so opt-in for now
+    # chebyshev level smoother: 40->25 iters at 268k for the same fine
+    # SpMV budget and 15 fewer iterations' worth of dots/transfers;
+    # BENCH_AMG_SMOOTHER=jacobi reverts
     M = build_amg(
         A,
-        smoother=os.environ.get("BENCH_AMG_SMOOTHER", "jacobi"),
+        smoother=os.environ.get("BENCH_AMG_SMOOTHER", "chebyshev"),
         cheb_deg=int(os.environ.get("BENCH_AMG_CHEB_DEG", "2")),
     )
     setup_s = time.time() - t0
@@ -447,7 +449,25 @@ def bench_unstructured() -> dict:
         )
 
         t0 = time.time()
-        sn = SupernodeSpmv.build(A)
+        sn = None
+        try:
+            sn = SupernodeSpmv.build(A)
+            if sn is not None:
+                # on-device parity self-check before trusting the new
+                # operator as the default (the kernel path has not run on
+                # every hardware/runtime combination)
+                got = jax.jit(sn.__call__)(b)
+                want = A.spmv(b)
+                err = float(jnp.max(jnp.abs(got - want))
+                            / (jnp.max(jnp.abs(want)) + 1e-30))
+                if not np.isfinite(err) or err > 1e-4:
+                    log(f"[unstr] supernode SELF-CHECK FAILED "
+                        f"(rel err {err:.2e}); falling back to window SpMV")
+                    sn = None
+        except Exception as e:
+            log(f"[unstr] supernode path failed ({e!r}); "
+                "falling back to window SpMV")
+            sn = None
         if sn is not None:
             snm = SupernodeMatrix(sn, A.diagonal())
             Ap = snm
@@ -467,11 +487,11 @@ def bench_unstructured() -> dict:
                 from arcanefem_tpu.solver.amg import with_supernode_smoother
 
                 M = with_supernode_smoother(M, A, sn)
-            log(f"[unstr] supernode plan {time.time()-t0:.1f}s "
+            log(f"[unstr] supernode plan+check {time.time()-t0:.1f}s "
                 f"({sn.blocks.shape[0]:,} blocks, "
                 f"{sn.blocks.nbytes/1e9:.2f} GB)")
         else:
-            log("[unstr] supernode plan unavailable; keeping window SpMV")
+            log("[unstr] supernode unavailable; keeping window SpMV")
     t0 = time.time()
     x, iters, res = pcg(Ap, b, M, x0, rtol, 0.0, 1000, use_precise_dot=True)
     s = float(jnp.sum(x))

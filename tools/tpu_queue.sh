@@ -43,10 +43,12 @@ run bench_asm_window 3600 BENCH_BOX=0 AFEM_UNSTR_ASM=window python bench.py
 run test_asm_parity 1800 python -m pytest tests/test_pallas_spmv.py -q -k on_tpu
 
 # 2c. supernode-blocked SpMV A/B (sparse/supernode.py: ~9x less sweep
-#     work for 11x block fill — model says ~6-9x net; parity test gated)
-run bench_supernode 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=supernode python bench.py
-run bench_supernode_bf16 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=supernode BENCH_SN_BF16=1 python bench.py
-run bench_supernode_cheb 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=supernode BENCH_AMG_SMOOTHER=chebyshev python bench.py
+#     work for 10.6x block fill).  supernode+chebyshev is now the bench
+#     DEFAULT (self-checked on device); these isolate each axis.
+run bench_window 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=window python bench.py
+run bench_jacobi 3600 BENCH_BOX=0 BENCH_AMG_SMOOTHER=jacobi python bench.py
+run bench_sn_bf16 3600 BENCH_BOX=0 BENCH_SN_BF16=1 python bench.py
+run bench_sn_block 3600 BENCH_BOX=0 BENCH_SN_BLOCK=1 python bench.py
 run test_supernode 1800 python -m pytest tests/test_supernode.py -q
 
 # 3. stability gate for the fused structured composition
