@@ -266,7 +266,8 @@ jax.tree_util.register_pytree_node(
     jax.tree_util.register_dataclass,
     data_fields=["mats", "inv_diags", "pcols", "pvals", "ptcols", "ptvals",
                  "coarse_inv", "p_apply", "pt_apply", "l0_binv"],
-    meta_fields=["nu", "omegas", "smoother", "cheb_deg", "rhos"],
+    meta_fields=["nu", "omegas", "smoother", "cheb_deg", "rhos",
+                 "sawtooth"],
 )
 @dataclass
 class AMGPrecond:
@@ -360,17 +361,30 @@ class AMGPrecond:
             return self.p_apply[l](xc)
         return jnp.einsum("nw,nw->n", self.pvals[l], xc[self.pcols[l]])
 
+    # "sawtooth" variant: skip the FINE-level pre-smooth (x=0 ⇒ r=b,
+    # restrict b directly) — saves the pre-smooth + residual fine SpMVs
+    # per V-cycle but makes the cycle nonsymmetric.  MEASURED at 268k:
+    # cheb 25→37 iters (5→3 fine SpMVs/iter: 125 vs 111, a wash once the
+    # +48% of per-iteration dots/transfers is counted), jacobi 40→64.
+    # Kept as a documented negative result; off by default.
+    sawtooth: bool = False
+
     def _vcycle(self, l: int, b):
         if l == len(self.mats):
             return self.coarse_inv @ b
-        if self.smoother == "chebyshev":
-            x = self._smooth_cheb(l, b)
+        if l == 0 and self.sawtooth:
+            rc = self._transfer_down(l, b)
+            xc = self._vcycle(l + 1, rc)
+            x = self._transfer_up(l, xc)
         else:
-            x = self._smooth0(l, b, self.nu)
-        r = b - self.mats[l].spmv(x)
-        rc = self._transfer_down(l, r)
-        xc = self._vcycle(l + 1, rc)
-        x = x + self._transfer_up(l, xc)
+            if self.smoother == "chebyshev":
+                x = self._smooth_cheb(l, b)
+            else:
+                x = self._smooth0(l, b, self.nu)
+            r = b - self.mats[l].spmv(x)
+            rc = self._transfer_down(l, r)
+            xc = self._vcycle(l + 1, rc)
+            x = x + self._transfer_up(l, xc)
         if self.smoother == "chebyshev":
             return self._smooth_cheb(l, b, x)
         om = jnp.asarray(self.omegas[l], b.dtype)
@@ -395,6 +409,7 @@ def build_amg(
     cheb_deg: int = 2,
     trunc_kmax: int = 8,
     trunc_rel: float = 0.05,
+    sawtooth: bool = False,
 ) -> AMGPrecond:
     """Host-side setup: strength -> aggregation -> Galerkin, per level.
 
@@ -724,6 +739,7 @@ def build_amg(
         smoother=smoother,
         cheb_deg=cheb_deg,
         rhos=tuple(float(r) for r in rhos),
+        sawtooth=sawtooth,
     )
 
 
