@@ -763,11 +763,11 @@ def with_supernode_smoother(M: AMGPrecond, A, sn, omega: float = 4.0 / 3.0):
     dblk = np.asarray(sn.blocks, np.float64)[diag_idx]
     # padded slots (last supernode) are all-zero rows: identity them
     zero = ~np.any(dblk != 0.0, axis=2)
-    ii = np.arange(bs)
     for b_i in np.flatnonzero(zero.any(axis=1)):
         z = zero[b_i]
+        # identity on the padded slots; their couplings are already zero
+        # (no matrix entries reference a padded position)
         dblk[b_i][np.ix_(z, z)] += np.eye(int(z.sum()))
-        dblk[b_i][z, :][:, ~z] = 0.0
     binv = np.linalg.inv(dblk)
 
     # rho(B^-1 A) by power iteration (host): A as scipy CSR
