@@ -111,32 +111,42 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
     if config.qdot is not None and qdot_fn is None:
         rhs_const = rhs_const + prob.constant_source_rhs(config.qdot)
 
-    def _source_rhs_at(t_eval):
-        """Manufactured source at barycenters: rhs[node] += q(bc, t)·meas/npc
-        (applyManufacturedSourceToRhs, ArcaneFemFunctions.h:1030-1053)."""
-        r = jnp.zeros(prob.n_dofs, dtype)
+    # time-independent source-quadrature data, hoisted out of the loop
+    src_cells = []
+    if qdot_fn is not None:
         for ct, conn in mesh.cells.items():
             xyz = prob.cell_xyz(ct)
             meas = elements.measure(ct, xyz)
             bc3 = jnp.mean(xyz, axis=1)  # (nc, dim)
             z = bc3[:, 2] if bc3.shape[1] > 2 else jnp.zeros_like(bc3[:, 0])
-            q = qdot_fn(bc3[:, 0], bc3[:, 1], z, t_eval)
             npc = conn.shape[1]
-            contrib = jnp.repeat(q * meas / npc, npc)
-            r = r.at[jnp.asarray(conn.reshape(-1))].add(contrib)
+            src_cells.append(
+                (bc3[:, 0], bc3[:, 1], z, meas / npc, npc,
+                 jnp.asarray(conn.reshape(-1)))
+            )
+
+    def _source_rhs_at(t_eval):
+        """Manufactured source at barycenters: rhs[node] += q(bc, t)·meas/npc
+        (applyManufacturedSourceToRhs, ArcaneFemFunctions.h:1030-1053)."""
+        r = jnp.zeros(prob.n_dofs, dtype)
+        for x, y, z, w, npc, dofs in src_cells:
+            contrib = jnp.repeat(qdot_fn(x, y, z, t_eval) * w, npc)
+            r = r.at[dofs].add(contrib)
         return r
 
-    # lumped nodal measure: rhs += T_old/dt * (sum of cell measure/npc)
-    lumped = np.zeros(prob.n_dofs, np.float64)
-    for ct, conn in mesh.cells.items():
-        meas = np.asarray(elements.measure(ct, prob.cell_xyz(ct)))
-        npc = conn.shape[1]
-        np.add.at(lumped, conn.reshape(-1), np.repeat(meas / npc, npc))
-    lumped = jnp.asarray(lumped.astype(dtype))
     Mmat = None
+    lumped = None
     if config.mass_rhs == "consistent":
         Mmat = prob.assemble_matrix(lambda ct, xyz: elements.mass(ct, xyz))
-    elif config.mass_rhs != "lumped":
+    elif config.mass_rhs == "lumped":
+        # lumped nodal measure: rhs += T_old/dt * (sum of cell measure/npc)
+        lnp = np.zeros(prob.n_dofs, np.float64)
+        for ct, conn in mesh.cells.items():
+            meas = np.asarray(elements.measure(ct, prob.cell_xyz(ct)))
+            npc = conn.shape[1]
+            np.add.at(lnp, conn.reshape(-1), np.repeat(meas / npc, npc))
+        lumped = jnp.asarray(lnp.astype(dtype))
+    else:
         raise ValueError(f"mass_rhs must be lumped|consistent, "
                          f"got {config.mass_rhs!r}")
 

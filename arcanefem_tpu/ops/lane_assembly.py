@@ -25,15 +25,6 @@ import numpy as np
 from ..sparse.topology import Topology
 
 
-# upper-triangle pair -> packed index 0..9, row-major: (0,0),(0,1),...,(3,3)
-_TRI10 = {
-    (i, j): k
-    for k, (i, j) in enumerate(
-        (i, j) for i in range(4) for j in range(i, 4)
-    )
-}
-
-
 class TetraLaneAssembler:
     """Assemble the P1 tetra stiffness into BELL (n, W) values.
 
@@ -69,19 +60,15 @@ class TetraLaneAssembler:
             reduce = os.environ.get("AFEM_UNSTR_ASM", "segsum")
         self.reducer_kind = "segsum"
         if reduce == "window" and on_tpu:
-            from ..sparse.pallas_assembly import SortedEntryAssembler
+            from ..sparse.pallas_assembly import Q2P16, SortedEntryAssembler
 
             # symmetric packing: ke[i,j] == ke[j,i], so the gather table
             # carries only the 10 upper-triangle entries per tet (id =
             # c*10 + packed(i,j)) — 6/16 less table traffic and denser
             # source windows.  NOTE: plans only on narrow-band (2D)
             # meshes; 3D falls through (ROADMAP "scatter tax").
-            q2p = np.array(
-                [_TRI10[(min(i, j), max(i, j))]
-                 for i in range(4) for j in range(4)], np.int64
-            )
             e = np.arange(16 * nc, dtype=np.int64)
-            entry_map = (e // 16) * 10 + q2p[e % 16]
+            entry_map = (e // 16) * 10 + Q2P16[e % 16]
             sea = SortedEntryAssembler(topo, entry_map=entry_map)
             if sea.available:
                 self.reducer = sea.plan
@@ -93,6 +80,15 @@ class TetraLaneAssembler:
             if ra.available:
                 self.reducer = ra.apply
                 self.reducer_kind = "reorder"
+        if reduce != "segsum" and self.reducer_kind == "segsum":
+            # an A/B run must not silently record segsum timings as the
+            # requested strategy's (3D meshes: no window plan exists —
+            # ROADMAP "scatter tax")
+            import sys
+
+            print(f"lane_assembly: reduce={reduce!r} unavailable on this "
+                  "mesh/platform; FALLING BACK to segment_sum",
+                  file=sys.stderr, flush=True)
         # lane-major entry order: e = (i*4+j)*nc + c
         sm = np.asarray(topo.slot_maps["tetra4"])  # (nc, 16), cell-major
         self.slot_map_t = jnp.asarray(

@@ -34,6 +34,18 @@ from .pallas_spmv import (
 )
 from .topology import Topology
 
+# tetra upper-triangle (i<=j) local pair -> packed index 0..9 (row-major:
+# (0,0),(0,1),...,(3,3)) — the lane-major ke10 stacking order of
+# ops/lane_assembly.py; Q2P16 maps the full ordered pair q=i*4+j onto it
+TRI10 = {
+    (i, j): k
+    for k, (i, j) in enumerate((i, j) for i in range(4) for j in range(i, 4))
+}
+Q2P16 = np.array(
+    [TRI10[(min(i, j), max(i, j))] for i in range(4) for j in range(4)],
+    np.int64,
+)
+
 
 class PallasAssembler:
     """values = assemble(element matrices) via window gathers."""
@@ -130,11 +142,7 @@ class ReorderedAssembler:
         conn = np.asarray(conn, np.int64)
         nc = conn.shape[0]
         self.n_cells = nc
-        tri10 = {}
-        for k, (i, j) in enumerate(
-            (i, j) for i in range(4) for j in range(i, 4)
-        ):
-            tri10[(i, j)] = k
+        tri10 = TRI10
         sm = np.asarray(
             topo.slot_maps["tetra4"], np.int64
         ).reshape(conn.shape[0], 16)  # cell-major, q = i*4+j
@@ -163,8 +171,6 @@ class ReorderedAssembler:
         )
         self.plans = None if self.reduce is None else plans
         self.rows10 = rows10
-        # host copies for emulation
-        self._dest = dest
 
     @property
     def available(self) -> bool:

@@ -46,13 +46,15 @@ def supernode_order(topo, coords: np.ndarray, bs: int = BS) -> np.ndarray:
     utils.ordering.rcm_order / renumber_mesh)."""
     from ..utils.ordering import rcm_order
 
-    n = coords.shape[0]
+    n, dim = coords.shape
     lo, hi = coords.min(0), coords.max(0)
     vol = float(np.prod(np.maximum(hi - lo, 1e-30)))
-    edge = (bs * vol / max(n, 1)) ** (1.0 / 3.0)
+    edge = (bs * vol / max(n, 1)) ** (1.0 / dim)
     cell = np.floor((coords - lo) / max(edge, 1e-30)).astype(np.int64)
     dims = cell.max(0) + 1
-    key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    key = cell[:, 0]
+    for d in range(1, dim):
+        key = key * dims[d] + cell[:, d]
     _, brick = np.unique(key, return_inverse=True)
     nb = int(brick.max()) + 1
 

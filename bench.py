@@ -454,15 +454,29 @@ def bench_unstructured() -> dict:
             sn = SupernodeSpmv.build(A)
             if sn is not None:
                 # on-device parity self-check before trusting the new
-                # operator as the default (the kernel path has not run on
-                # every hardware/runtime combination)
-                got = jax.jit(sn.__call__)(b)
-                want = A.spmv(b)
-                err = float(jnp.max(jnp.abs(got - want))
-                            / (jnp.max(jnp.abs(want)) + 1e-30))
-                if not np.isfinite(err) or err > 1e-4:
+                # operator as the default.  Probe with a UNIT-SCALE random
+                # vector, not b: b carries 1e12 penalty entries, and a
+                # global-max normalization against A·b (~1e24 at boundary
+                # rows) would pass interior-row corruption of any size.
+                xp = jnp.asarray(
+                    np.random.RandomState(0).rand(n).astype(np.float32)
+                )
+                got = np.asarray(jax.jit(sn.__call__)(xp))
+                want = np.asarray(A.spmv(xp))
+                diff = np.abs(got - want)
+                # interior rows: relative to the interior row scale
+                im = ~mask
+                iscale = float(np.median(np.abs(want[im]))) + 1e-30
+                err_i = float(diff[im].max()) / iscale
+                # penalty rows (~1e12·x): per-element relative
+                err_p = float(
+                    (diff[mask] / (np.abs(want[mask]) + 1e-30)).max()
+                ) if mask.any() else 0.0
+                err = max(err_i, err_p)
+                if not np.isfinite(err) or err > 1e-2:
                     log(f"[unstr] supernode SELF-CHECK FAILED "
-                        f"(rel err {err:.2e}); falling back to window SpMV")
+                        f"(err interior {err_i:.2e} / penalty {err_p:.2e})"
+                        "; falling back to window SpMV")
                     sn = None
         except Exception as e:
             log(f"[unstr] supernode path failed ({e!r}); "
@@ -864,7 +878,7 @@ def main():
         bench_sweep(sys.argv[2:])
         return
 
-    skip_unstr = os.environ.get("BENCH_UNSTR", "1") != "1"
+    skip_unstr = os.environ.get("BENCH_UNSTR", "1") not in ("1", "force")
     skip_box = os.environ.get("BENCH_BOX", "1") != "1"
 
     if not skip_unstr and os.environ.get("BENCH_UNSTR") != "force":
@@ -875,7 +889,9 @@ def main():
         if jax.devices()[0].platform != "tpu":
             log("[bench] no TPU backend; skipping the unstructured "
                 "primary (BENCH_UNSTR=force to override)")
-            skip_unstr, skip_box = True, False
+            skip_unstr = True
+            if os.environ.get("BENCH_BOX", "1") == "1":
+                skip_box = False  # never override an explicit BENCH_BOX=0
 
     unstr = None
     if not skip_unstr:
@@ -893,6 +909,14 @@ def main():
     box = None if skip_box else bench_structured()
 
     primary = unstr or box
+    if primary is None:
+        log("[bench] nothing ran (both metrics skipped/unavailable)")
+        print(json.dumps({
+            "metric": "none", "value": None, "unit": "s",
+            "vs_baseline": None,
+            "extra": {"error": "no benchmark ran on this backend"},
+        }))
+        sys.exit(1)
     extra = {k: v for k, v in primary.items() if k not in ("metric", "value")}
     if unstr is not None and box is not None:
         extra["secondary_metric"] = box["metric"]
