@@ -450,8 +450,17 @@ def bench_unstructured() -> dict:
 
         t0 = time.time()
         sn = None
+        # block fill ≈ 10.6x: the (nnzb, 8, 8) f32 operator is ~11x nnz
+        # in bytes; past ~5 GB it cannot coexist with the AMG hierarchy
+        # in the 16 GB HBM (the 10M mesh) — skip instead of OOM-ing
+        est_gb = topo.nnz * 10.6 * 4 / 1e9
+        max_gb = float(os.environ.get("BENCH_SN_MAX_GB", "5"))
+        if est_gb > max_gb:
+            log(f"[unstr] supernode blocks ~{est_gb:.1f} GB > "
+                f"{max_gb:g} GB cap; keeping window SpMV")
+            supernode = False
         try:
-            sn = SupernodeSpmv.build(A)
+            sn = SupernodeSpmv.build(A) if supernode else None
             if sn is not None:
                 # on-device parity self-check before trusting the new
                 # operator as the default.  Probe with a UNIT-SCALE random
