@@ -437,6 +437,7 @@ def bench_unstructured() -> dict:
 
     Ap = M.mats[0] if (M.mats and hasattr(M.mats[0], "gather")) \
         else as_pallas_matrix(A)
+    Ap_fallback, M_fallback = Ap, M  # pre-supernode pair for solve retry
     if supernode:
         # supernode-blocked fine operator (sparse/supernode.py): trades
         # ~10.6x block fill for ~9x less gather sweep work; wraps BOTH
@@ -516,8 +517,22 @@ def bench_unstructured() -> dict:
         else:
             log("[unstr] supernode unavailable; keeping window SpMV")
     t0 = time.time()
-    x, iters, res = pcg(Ap, b, M, x0, rtol, 0.0, 1000, use_precise_dot=True)
-    s = float(jnp.sum(x))
+    try:
+        x, iters, res = pcg(Ap, b, M, x0, rtol, 0.0, 1000,
+                            use_precise_dot=True)
+        s = float(jnp.sum(x))
+    except Exception as e:
+        if Ap is Ap_fallback and M is M_fallback:
+            raise
+        # the supernode PCG program failed (e.g. remote-compile limits on
+        # kernel-heavy bodies) — retry once on the window path
+        log(f"[unstr] supernode solve failed ({e!r}); retrying on the "
+            "window path")
+        Ap, M = Ap_fallback, M_fallback
+        t0 = time.time()
+        x, iters, res = pcg(Ap, b, M, x0, rtol, 0.0, 1000,
+                            use_precise_dot=True)
+        s = float(jnp.sum(x))
     log(f"[unstr] solve compile+first {time.time()-t0:.1f}s")
 
     def run_solve(reps):
