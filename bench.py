@@ -586,6 +586,9 @@ def bench_unstructured() -> dict:
         "iterations": iters,
         "n_dofs": int(n),
         "nnz_stored": int(topo.nnz),
+        # which fine-operator path actually ran (supernode may fall back)
+        "spmv_path": type(Ap).__name__,
+        "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
     }
     if spmv_ratio is not None:
         out["spmv_vs_xla_gather"] = round(spmv_ratio, 1)
