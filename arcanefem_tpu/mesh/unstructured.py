@@ -31,11 +31,15 @@ RADIUS = 100.0
 
 
 def _inside(p: np.ndarray, margin: float) -> np.ndarray:
-    """Mask of points inside the sphere-minus-octant domain."""
+    """Mask of points at least `margin` inside the sphere-minus-octant
+    domain: away from the sphere AND away from (or inside) the removed
+    octant — min(p) > -margin means within `margin` of a cut face (or in
+    the octant), so those points are dropped and the structured cut-face
+    points own the boundary."""
     r = np.linalg.norm(p, axis=1)
     in_sphere = r < RADIUS - margin
-    in_cut_octant = np.min(p, axis=1) > margin
-    return in_sphere & ~in_cut_octant
+    near_or_in_octant = np.min(p, axis=1) > -margin
+    return in_sphere & ~near_or_in_octant
 
 
 def _fibonacci_sphere(n: int, rng) -> np.ndarray:
@@ -54,23 +58,29 @@ def _fibonacci_sphere(n: int, rng) -> np.ndarray:
 
 
 def _disk_points(h: float, rng) -> np.ndarray:
-    """Jittered-grid points on the 3/4 disk of radius R in 2D (u, v),
-    excluding the (+,+) quadrant, plus the boundary feature curves."""
-    n = int(2 * RADIUS / h)
-    u = np.linspace(-RADIUS, RADIUS, n + 1)
+    """Jittered-grid points on the QUARTER disk {u≥0, v≥0, r<R} — the
+    flat cut face of ball-minus-(+,+,+)-octant on each coordinate plane
+    (on x=0 the face is {y≥0, z≥0}: points with min(y,z)<0 there are
+    INTERIOR, not boundary) — plus its feature curves: the quarter arc
+    and the two axis edges shared between adjacent cut faces."""
+    n = int(RADIUS / h)
+    u = np.linspace(0.0, RADIUS, n + 1)
     U, V = np.meshgrid(u, u, indexing="ij")
     pts = np.stack([U.ravel(), V.ravel()], axis=1)
     pts += rng.uniform(-0.3 * h, 0.3 * h, pts.shape)
     r = np.linalg.norm(pts, axis=1)
-    keep = (r < RADIUS - 0.6 * h) & ~(
-        (pts[:, 0] > 0.6 * h) & (pts[:, 1] > 0.6 * h)
+    keep = (
+        (r < RADIUS - 0.6 * h)
+        & (pts[:, 0] > 0.6 * h)
+        & (pts[:, 1] > 0.6 * h)
     )
     interior = pts[keep]
-    # 3/4 circle arc
-    na = int(1.5 * np.pi * RADIUS / h)
-    ang = np.linspace(0.5 * np.pi, 2.0 * np.pi, na + 1)
+    # quarter circle arc (the curved edge of the cut face)
+    na = int(0.5 * np.pi * RADIUS / h)
+    ang = np.linspace(0.0, 0.5 * np.pi, na + 1)
     arc = RADIUS * np.stack([np.cos(ang), np.sin(ang)], axis=1)
-    # the two straight feature edges (positive u and v axes)
+    # the two straight feature edges (positive u and v axes; the origin
+    # and arc endpoints dedup with their twins from the other planes)
     ne = int(RADIUS / h)
     t = np.linspace(0.0, RADIUS - h, ne)
     eu = np.stack([t, np.zeros_like(t)], axis=1)
@@ -259,16 +269,8 @@ def refine_tetra(mesh: Mesh) -> Mesh:
 
     # refine boundary face groups: midpoints already exist (face edges are
     # tet edges); locate them through the same unique-edge table
-    edge_lookup = {}
     new_fg: dict[str, dict[str, np.ndarray]] = {}
     if mesh.face_groups:
-        # map (a, b) sorted edge -> midpoint id via searchsorted on uniq
-        def edge_mid(e):
-            e = np.sort(e, axis=1)
-            pos = np.searchsorted(uniq[:, 0] * (2**32) + uniq[:, 1],
-                                  e[:, 0] * (2**32) + e[:, 1])
-            return mid[pos]
-
         # uniq is lexicographically sorted by (a, b); build the packed key
         packed = uniq[:, 0] * (2**32) + uniq[:, 1]
         assert np.all(np.diff(packed) > 0)
@@ -290,7 +292,6 @@ def refine_tetra(mesh: Mesh) -> Mesh:
                 [floc[:, list(ch)] for ch in _TRI_CHILDREN], axis=0
             ).astype(np.int32)
             new_fg[g] = {"tria3": fchildren}
-    del edge_lookup
 
     uid0 = int(mesh.node_uids.max()) + 1
     return Mesh(

@@ -69,7 +69,13 @@ def solve(
     dtype=np.float64,
     timer: PhaseTimer | None = None,
 ) -> ElasticityResult:
+    from dataclasses import replace as _dc_replace
+
     timer = timer or PhaseTimer(verbose=False)
+    # never mutate the CALLER's config: the method switch and the mesh-
+    # sized rigid-body nullspace below must not leak into a reused config
+    # (a stale nullspace from another mesh corrupts the AMG hierarchy)
+    config = _dc_replace(config, solver=_dc_replace(config.solver))
     ndof = 3 if mesh.dim == 3 else 2
 
     with timer.phase("initialize"):

@@ -243,11 +243,19 @@ def solve_finalized(
     from .amg import AMGPrecond
 
     if (isinstance(M, AMGPrecond) and M.mats
-            and hasattr(M.mats[0], "gather")):
+            and hasattr(M.mats[0], "gather")
+            and options.spmv == "pallas"
+            and precond is None
+            and A.values.dtype == jnp.float32):
         # the AMG hierarchy's fine operator IS the finalized matrix, in
         # split window-kernel form (fewer padded slots than the runtime-
         # valued ELL kernel: 4.5 vs 6.7 ms/SpMV at 270k nodes) — use it
-        # for the Krylov A·p as well
+        # for the Krylov A·p as well.  Guards: only when M was built HERE
+        # from this A (precond is None — a caller-supplied AMGPrecond may
+        # be frozen from older values), only when the pallas path is
+        # requested (spmv="xla" must mean xla), and only in f32 (the
+        # window plans bake f32 weights; swapping would silently degrade
+        # an f64 solve).
         A = M.mats[0]
     if x0 is None:
         x0 = jnp.zeros_like(b)

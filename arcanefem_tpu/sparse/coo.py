@@ -97,6 +97,9 @@ class CooMatrix:
             np.arange(topo.n_nodes, dtype=np.int64), np.diff(rp)
         ) * self.n + cc
         pos = np.searchsorted(key_all, r * self.n + c)
+        # clip before indexing so an out-of-range key hits the diagnostic
+        # assert below instead of an opaque IndexError
+        pos = np.minimum(pos, len(key_all) - 1)
         assert np.all(key_all[pos] == r * self.n + c), (
             "COO entry outside the topology sparsity"
         )

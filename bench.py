@@ -318,7 +318,7 @@ def bench_unstructured() -> dict:
     # supernode operator is the default (guarded by an on-device parity
     # self-check below); BENCH_UNSTR_SPMV=window keeps the scalar kernel
     supernode = os.environ.get("BENCH_UNSTR_SPMV", "supernode") == "supernode"
-    key = f"sphere_cut_v2_h{h:g}_r{refine}"
+    key = f"sphere_cut_v3_h{h:g}_r{refine}"
     if supernode:
         # supernode blocking needs its own node order (spatial bricks +
         # brick-graph RCM, sparse/supernode.py) so supernodes are
@@ -364,7 +364,6 @@ def bench_unstructured() -> dict:
 
     dtype = jnp.float32 if on_tpu else jnp.float64
     coords = jnp.asarray(mesh.coords.astype(jnp.float32))
-    conn = jnp.asarray(mesh.cells["tetra4"])
     n, W = topo.n_nodes, topo.width
 
     t0 = time.time()
@@ -636,7 +635,7 @@ def _load_sphere_cut(h: float, refine: int):
 
     cache_dir = "/tmp/afem_meshes"
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"sphere_cut_v2_h{h:g}_r{refine}.npz")
+    path = os.path.join(cache_dir, f"sphere_cut_v3_h{h:g}_r{refine}.npz")
     if os.path.exists(path):
         z = np.load(path)
         return Mesh(
