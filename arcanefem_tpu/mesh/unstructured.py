@@ -97,8 +97,11 @@ def sphere_cut_points(h: float, seed: int = 0) -> np.ndarray:
     # jitter resolves ties into near-flat tets — measured q1% 0.026 on the
     # refined 300k mesh, driving AMG-PCG to 71 iterations).  The BCC
     # lattice's Delaunay is the high-quality disphenoid mesh; 10% jitter
-    # keeps the connectivity genuinely irregular with q1% ~0.07 and ~20
-    # iterations.  Cell size a = 2^(1/3)·h matches the cubic-grid density.
+    # keeps the connectivity genuinely irregular.  With the quarter-disk
+    # cut faces (v3 geometry): q1% 0.021 at h5r1 and 19 (jacobi) / 14
+    # (chebyshev) AMG-PCG iterations to 1e-8 — the earlier jagged cut
+    # boundary alone cost 2x the iterations.  Cell size a = 2^(1/3)·h
+    # matches the cubic-grid density.
     a = 2.0 ** (1.0 / 3.0) * h
     n = int(2 * RADIUS / a)
     u = np.linspace(-RADIUS, RADIUS, n + 1)
