@@ -39,6 +39,31 @@ def main(argv=None):
         return testlab.main(argv[1:])
 
     args = p.parse_args(argv)
+
+    # platform policy: f64 (default) runs on CPU — TPU f64 is emulated,
+    # and the golden tolerances are an f64 gate; --f32 targets the TPU,
+    # but only after a BOUNDED probe (a dead axon tunnel hangs backend
+    # init for tens of minutes — the bench.py lesson)
+    import jax
+
+    if not args.f32:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        import subprocess
+
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180,
+            ).returncode == 0
+        except Exception:
+            ok = False
+        if not ok:
+            print("TPU backend unreachable; running on CPU",
+                  file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+
     from .fem.runner import run_case
 
     res = run_case(
