@@ -248,6 +248,29 @@ def main(argv=None):
     p.add_argument("--f64", action="store_true")
     args = p.parse_args(argv)
 
+    # bounded-probe platform policy (see __main__.py: a dead axon tunnel
+    # hangs default backend init); --f64 always means CPU
+    import subprocess
+    import sys as _sys
+
+    import jax as _jax
+
+    if args.f64:
+        _jax.config.update("jax_platforms", "cpu")
+        _jax.config.update("jax_enable_x64", True)
+    else:
+        try:
+            ok = subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=180,
+            ).returncode == 0
+        except Exception:
+            ok = False
+        if not ok:
+            print("TPU backend unreachable; running on CPU",
+                  file=_sys.stderr)
+            _jax.config.update("jax_platforms", "cpu")
+
     if args.mesh:
         mesh = read_msh(args.mesh)
     elif args.rect:
