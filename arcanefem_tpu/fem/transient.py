@@ -53,9 +53,14 @@ class FrozenBC:
         return jnp.where(mask, self.dirichlet_values, x)
 
 
-def anchor_atol(A: BellMatrix, M, rhs, x0, rtol: float) -> float:
-    """Absolute preconditioned-norm tolerance anchored at a step's initial
-    residual: ``rtol * ||b - A x0||_C``.
+def anchor_atol(
+    A: BellMatrix, M, rhs, x0, rtol: float, method: str = "pcg"
+) -> float:
+    """Absolute tolerance anchored at a step's initial residual, measured in
+    the norm the chosen solver monitors: ``rtol * ||b - A x0||_C`` for
+    pcg/bicgstab (preconditioned norm) and ``rtol * ||b - A x0||_2`` for
+    gmres (true-residual norm) — mixing the two can differ by orders of
+    magnitude under a strong preconditioner.
 
     Transient loops warm-start every step, so the relative criterion
     (tol² = rtol²·rz0) degenerates when a late-time step is already
@@ -65,6 +70,8 @@ def anchor_atol(A: BellMatrix, M, rhs, x0, rtol: float) -> float:
     *absolute* accuracy as step one and lets converged steps exit at once.
     """
     r0 = rhs - A.spmv(x0)
+    if method == "gmres":
+        return float(rtol) * float(jnp.sqrt(jnp.abs(jnp.vdot(r0, r0))))
     z0 = M.apply(r0)
     return float(rtol) * float(jnp.sqrt(jnp.abs(jnp.vdot(r0, z0))))
 

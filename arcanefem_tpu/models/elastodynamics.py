@@ -281,7 +281,8 @@ def solve(mesh: Mesh, cfg: ElastodynamicsConfig, dtype=np.float64,
                 opts = replace(
                     cfg.solver,
                     atol=max(cfg.solver.atol,
-                             anchor_atol(A_bc, M_pre, rhs, x0, cfg.solver.rtol)),
+                             anchor_atol(A_bc, M_pre, rhs, x0, cfg.solver.rtol,
+                                         method=cfg.solver.method)),
                 )
             dU, info = solve_finalized(A_bc, rhs, opts, x0=x0, precond=M_pre)
             U, V, Acc = newmark_update(dU, U, V, Acc)

@@ -172,7 +172,8 @@ def solve(mesh: Mesh, config: HeatConfig, dtype=np.float64,
                 opts = replace(
                     config.solver,
                     atol=max(config.solver.atol,
-                             anchor_atol(A_bc, M, rhs, x0, config.solver.rtol)),
+                             anchor_atol(A_bc, M, rhs, x0, config.solver.rtol,
+                                         method=config.solver.method)),
                 )
             T, info = solve_finalized(A_bc, rhs, opts, x0=x0, precond=M)
             t += dt

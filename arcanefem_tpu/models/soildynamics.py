@@ -248,7 +248,8 @@ def solve(mesh: Mesh, cfg: SoildynamicsConfig, dtype=np.float64,
                 opts = replace(
                     cfg.solver,
                     atol=max(cfg.solver.atol,
-                             anchor_atol(fbc.A, M_pre, rhs, x0, cfg.solver.rtol)),
+                             anchor_atol(fbc.A, M_pre, rhs, x0, cfg.solver.rtol,
+                                         method=cfg.solver.method)),
                 )
             dU, info = solve_finalized(fbc.A, rhs, opts, x0=x0, precond=M_pre)
             U, V, Acc = newmark_update(dU, U, V, Acc)

@@ -91,6 +91,11 @@ def build_sharded_amg(sp: ShardedProblem, amg: AMGPrecond) -> ShardedAMG:
         ptcols=amg.ptcols[1:],
         ptvals=amg.ptvals[1:],
         omegas=amg.omegas[1:],
+        # keep the per-level meta aligned with the stripped level too: a
+        # chebyshev hierarchy reads rhos[l] inside the inner cycle, and a
+        # supernode l0_binv only matches level-0 shapes
+        rhos=amg.rhos[1:] if amg.rhos else (),
+        l0_binv=None,
         p_apply=(),
         pt_apply=(),
     )

@@ -314,7 +314,9 @@ class AMGPrecond:
             vb = jnp.pad(v, (0, pad)).reshape(-1, bs)
             out = jnp.einsum(
                 "bij,bj->bi", self.l0_binv, vb,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.promote_types(
+                    self.l0_binv.dtype, v.dtype
+                ),
             ).astype(v.dtype)
             return out.reshape(-1)[:n]
         return self.inv_diags[l] * v
@@ -795,9 +797,13 @@ def with_supernode_smoother(M: AMGPrecond, A, sn, omega: float = 4.0 / 3.0):
             break
         v = w / rho
 
+    # keep the smoother in the hierarchy's value dtype so an f64 (CPU golden
+    # gate) hierarchy does not silently get f32 applies and different
+    # iteration counts
+    vdtype = np.asarray(A.values).dtype
     return _dc_replace(
         M,
-        l0_binv=jnp.asarray(binv.astype(np.float32)),
+        l0_binv=jnp.asarray(binv.astype(vdtype)),
         omegas=(omega / rho,) + tuple(M.omegas[1:]),
         rhos=(rho,) + tuple(M.rhos[1:]),
     )

@@ -154,7 +154,12 @@ def bench_structured() -> dict:
     def assemble(c3d):
         return box.assemble_stiffness(c3d)
 
-    precond = os.environ.get("BENCH_PRECOND", "mg")
+    # XLA:CPU compiles the MG-preconditioner apply pathologically slowly
+    # (7m26s observed at n=24, BENCH_r02) — a dead-tunnel fallback run must
+    # complete in seconds, so CPU defaults to jacobi
+    precond = os.environ.get(
+        "BENCH_PRECOND", "mg" if platform == "tpu" else "jacobi"
+    )
     nu = int(os.environ.get("BENCH_NU", "1"))
 
     # Fully-fused assemble+RHS+BC kernel path (default).  The TPU-worker
@@ -251,8 +256,16 @@ def bench_structured() -> dict:
     t1 = min(run_assembly(r1) for _ in range(2))
     t2 = min(run_assembly(r2) for _ in range(2))
     asm_s = max((t2 - t1) / (r2 - r1), 1e-9)
-    asm_mdofs = box.n_nodes / asm_s / 1e6
-    log(f"assembly {asm_s*1e3:.1f} ms -> {asm_mdofs:.0f} MDoF/s")
+    # a slope below the timer's resolution would fabricate an absurd
+    # throughput (BENCH_r02: 15,625,000 MDoF/s from a saturated clamp) —
+    # report no throughput rather than a wrong one
+    if t2 - t1 < 2e-3:
+        asm_mdofs = None
+        log(f"assembly slope {t2-t1:.4f}s below timer resolution; "
+            "throughput suppressed")
+    else:
+        asm_mdofs = round(box.n_nodes / asm_s / 1e6, 1)
+        log(f"assembly {asm_s*1e3:.1f} ms -> {asm_mdofs:.0f} MDoF/s")
 
     # --- solve to rtol (slope-timed like assembly: the host->device fetch
     # through the axon tunnel costs ~45 ms, which a single-shot measurement
@@ -283,13 +296,17 @@ def bench_structured() -> dict:
     assert np.isfinite(s), "non-finite solution"
 
     return {
-        "metric": f"poisson3d_box_{box.n_nodes//1_000_000}MDoF_assembly+cg_to_{rtol:g}_s",
+        "metric": (
+            f"poisson3d_box_{box.n_nodes/1e6:.3g}MDoF"
+            f"_assembly+cg_to_{rtol:g}_s"
+        ),
         "value": round(total, 4),
-        "assembly_mdofs": round(asm_mdofs, 1),
+        "assembly_mdofs": asm_mdofs,
         "iterations": iters,
         "n_dofs": box.n_nodes,
         # 15-offset Kuhn stencil = the stored operator (structured.py:6-9)
         "nnz_stored": 15 * box.n_nodes,
+        "platform": platform,
     }
 
 
@@ -590,6 +607,7 @@ def bench_unstructured() -> dict:
         # which fine-operator path actually ran (supernode may fall back)
         "spmv_path": type(Ap).__name__,
         "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
+        "platform": platform,
     }
     if spmv_ratio is not None:
         out["spmv_vs_xla_gather"] = round(spmv_ratio, 1)
@@ -958,9 +976,14 @@ def main():
         ref_s = reference_roofline_estimate(
             primary["n_dofs"], primary["nnz_stored"]
         )
-        vs = round(ref_s / primary["value"], 3)
         extra["baseline_kind"] = "a100-roofline-estimate"
         extra["baseline_estimate_s"] = round(ref_s, 4)
+        if primary.get("platform") == "tpu":
+            vs = round(ref_s / primary["value"], 3)
+        else:
+            # a CPU fallback number is not comparable to the A100 roofline;
+            # label it loudly instead of emitting a misleading ratio
+            extra["platform"] = "cpu-fallback"
     out = {
         "metric": primary["metric"],
         "value": primary["value"],
