@@ -35,6 +35,9 @@ _VAR_ALIASES = {
     "nodetemperature": ("T", "u"), "displ": ("u",),
     "phi": ("phi",), "e": ("E",), "psi": ("psi",), "flux": ("flux",),
     "u1": ("u1",), "u2": ("u2",),
+    # passmo recovery cell variables (Elastodynamic.axl:41-52)
+    "strainvol": ("strain_vol",), "straindev": ("strain_dev",),
+    "stressvol": ("stress_vol",), "stressdev": ("stress_dev",),
 }
 
 
