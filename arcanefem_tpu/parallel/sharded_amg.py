@@ -110,6 +110,29 @@ def build_sharded_amg(sp: ShardedProblem, amg: AMGPrecond) -> ShardedAMG:
     )
 
 
+def fine_vcycle(spmv, inv_diag0, pcols0, pvals0, inner: AMGPrecond,
+                n1: int, omega0: float, nu: int, r):
+    """Sharded fine level (smooth/restrict/prolong) around the replicated
+    inner hierarchy — shared with the window-kernel step
+    (sharded_window.make_window_amg_step)."""
+    om = jnp.asarray(omega0, r.dtype)
+    x = om * inv_diag0 * r
+    for _ in range(nu - 1):
+        x = x + om * inv_diag0 * (r - spmv(x))
+    rr = r - spmv(x)
+    rc_part = jax.ops.segment_sum(
+        (pvals0 * rr[:, None]).reshape(-1),
+        pcols0.reshape(-1),
+        num_segments=n1 + 1,
+    )[:-1]
+    rc = jax.lax.psum(rc_part, AXIS)
+    xc = inner.apply(rc)
+    x = x + jnp.einsum("nw,nw->n", pvals0, xc[pcols0])
+    for _ in range(nu):
+        x = x + om * inv_diag0 * (r - spmv(x))
+    return x
+
+
 def make_poisson_amg_step(
     sp: ShardedProblem,
     mesh: jax.sharding.Mesh,
@@ -150,26 +173,11 @@ def make_poisson_amg_step(
         def spmv(x):
             return shard_spmv(values, ell_cols, x, send_idx, halo_src)
 
-        om = jnp.asarray(omega0, rhs.dtype)
-
         def vcycle(r):
             # fine level sharded: pre-smooth, restrict (psum), replicated
             # inner cycle, prolongate, post-smooth
-            x = om * inv_diag0 * r
-            for _ in range(nu - 1):
-                x = x + om * inv_diag0 * (r - spmv(x))
-            rr = r - spmv(x)
-            rc_part = jax.ops.segment_sum(
-                (pvals0 * rr[:, None]).reshape(-1),
-                pcols0.reshape(-1),
-                num_segments=n1 + 1,
-            )[:-1]
-            rc = jax.lax.psum(rc_part, AXIS)
-            xc = inner.apply(rc)
-            x = x + jnp.einsum("nw,nw->n", pvals0, xc[pcols0])
-            for _ in range(nu):
-                x = x + om * inv_diag0 * (r - spmv(x))
-            return x
+            return fine_vcycle(spmv, inv_diag0, pcols0, pvals0, inner,
+                               n1, omega0, nu, r)
 
         x, iters, res = shard_pcg(spmv, vcycle, rhs, x0, rtol, atol, max_iter)
         return x[None], iters, res
