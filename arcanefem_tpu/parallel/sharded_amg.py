@@ -98,6 +98,8 @@ def build_sharded_amg(sp: ShardedProblem, amg: AMGPrecond) -> ShardedAMG:
         l0_binv=None,
         p_apply=(),
         pt_apply=(),
+        # bf16 vmats are window kernels too (with_bf16_vcycle) — strip them
+        vmats=(),
     )
     return ShardedAMG(
         inv_diag0=inv_diag0,

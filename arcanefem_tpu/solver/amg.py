@@ -265,7 +265,7 @@ jax.tree_util.register_pytree_node(
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["mats", "inv_diags", "pcols", "pvals", "ptcols", "ptvals",
-                 "coarse_inv", "p_apply", "pt_apply", "l0_binv"],
+                 "coarse_inv", "p_apply", "pt_apply", "l0_binv", "vmats"],
     meta_fields=["nu", "omegas", "smoother", "cheb_deg", "rhos",
                  "sawtooth"],
 )
@@ -303,6 +303,16 @@ class AMGPrecond:
     # strong smoother.  When set, omegas[0]/rhos[0] must have been
     # re-estimated for B^-1 A (with_supernode_smoother does this).
     l0_binv: object = None
+    # optional V-cycle-only level operators (e.g. bf16-weight window
+    # kernels from with_bf16_vcycle).  `mats` stays full-precision so
+    # solve_finalized's Krylov fine-operator swap (mats[0]) keeps f32
+    # residuals; the preconditioner itself only sets the convergence RATE.
+    vmats: tuple = ()
+
+    def _mat(self, l: int):
+        if l < len(self.vmats) and self.vmats[l] is not None:
+            return self.vmats[l]
+        return self.mats[l]
 
     def _minv(self, l: int, v):
         """Smoother preconditioner apply: block-Jacobi on level 0 when
@@ -325,7 +335,7 @@ class AMGPrecond:
         om = jnp.asarray(self.omegas[l], b.dtype)
         x = om * self._minv(l, b)
         for _ in range(sweeps - 1):
-            x = x + om * self._minv(l, b - self.mats[l].spmv(x))
+            x = x + om * self._minv(l, b - self._mat(l).spmv(x))
         return x
 
     def _cheb_params(self, l: int):
@@ -339,7 +349,7 @@ class AMGPrecond:
         """x_out = x + p(M^-1 A)·M^-1·(b − A x), three-term recurrence
         (M = diagonal, or the level-0 block-Jacobi when l0_binv is set)."""
         theta, delta, sigma = self._cheb_params(l)
-        Al = self.mats[l]
+        Al = self._mat(l)
         r = b if x is None else b - Al.spmv(x)
         d = self._minv(l, r) / theta
         x = d if x is None else x + d
@@ -383,7 +393,7 @@ class AMGPrecond:
                 x = self._smooth_cheb(l, b)
             else:
                 x = self._smooth0(l, b, self.nu)
-            r = b - self.mats[l].spmv(x)
+            r = b - self._mat(l).spmv(x)
             rc = self._transfer_down(l, r)
             xc = self._vcycle(l + 1, rc)
             x = x + self._transfer_up(l, xc)
@@ -391,7 +401,7 @@ class AMGPrecond:
             return self._smooth_cheb(l, b, x)
         om = jnp.asarray(self.omegas[l], b.dtype)
         for _ in range(self.nu):
-            x = x + om * self._minv(l, b - self.mats[l].spmv(x))
+            x = x + om * self._minv(l, b - self._mat(l).spmv(x))
         return x
 
     def apply(self, r: jnp.ndarray) -> jnp.ndarray:
@@ -806,4 +816,38 @@ def with_supernode_smoother(M: AMGPrecond, A, sn, omega: float = 4.0 / 3.0):
         l0_binv=jnp.asarray(binv.astype(vdtype)),
         omegas=(omega / rho,) + tuple(M.omegas[1:]),
         rhos=(rho,) + tuple(M.rhos[1:]),
+    )
+
+
+def with_bf16_vcycle(M: AMGPrecond) -> AMGPrecond:
+    """bf16-weight level operators + transfers for the V-cycle only.
+
+    The preconditioner only sets the convergence RATE, not the attainable
+    accuracy (the Krylov residual is computed with the full-precision fine
+    operator — solve_finalized swaps in M.mats[0], which stays f32), so the
+    window kernels' nnz-sized weight streams can ride at half width.  The
+    structured MG's bf16-band precedent: 0.134 -> 0.122 s at 11.4M
+    (ROADMAP.md).  Level operators that are plain BellMatrix (XLA fallback,
+    sub-1500-row levels) are left untouched — their traffic is trivial.
+
+    Gate with an iteration-count check: bf16 weights cost at most ~1 extra
+    PCG iteration on the sphere_cut systems (tests/test_amg.py).
+    """
+    from dataclasses import replace as _dc_replace
+
+    def cast_mat(m):
+        if isinstance(m, _PlannedMat):
+            return _PlannedMat(
+                m.bell, m.gather.with_weights_dtype(jnp.bfloat16)
+            )
+        return m
+
+    def cast_gather(g):
+        return None if g is None else g.with_weights_dtype(jnp.bfloat16)
+
+    return _dc_replace(
+        M,
+        vmats=tuple(cast_mat(m) for m in M.mats),
+        p_apply=tuple(cast_gather(g) for g in M.p_apply),
+        pt_apply=tuple(cast_gather(g) for g in M.pt_apply),
     )

@@ -172,6 +172,12 @@ class SolverOptions:
     # body modes for elasticity-family block systems
     # (solver/amg.py::rigid_body_modes); ignored by other preconditioners
     amg_nullspace: object = None
+    # what to do when the iterative solve exhausts max_iter above rtol
+    # (the Aleph stop_error_strategy role, AlephDoFLinearSystem.cc:360-362):
+    # "dump" writes SolveErrorMatrix.npz + warns, "raise" additionally
+    # raises, "ignore" skips the host-side check (keeps transient loops
+    # free of per-step device syncs)
+    fail_action: str = "dump"
 
 
 @dataclass
@@ -284,4 +290,67 @@ def solve_finalized(
         )
     else:
         raise ValueError(f"unknown solver method '{options.method}'")
-    return x, {"iterations": iters, "residual": res}
+
+    # True-residual report (Hypre reports/monitors ||b-Ax||/||b|| for cold
+    # solves; our Krylov methods monitor the preconditioned norm — see the
+    # pcg docstring).  One extra SpMV per solve makes the golden-path
+    # convergence quality directly comparable to the reference's rtol
+    # semantics (HypreDoFLinearSystemFactory.axl:4-13).
+    bn = jnp.linalg.norm(b.astype(jnp.float32) if b.dtype == jnp.bfloat16
+                         else b)
+    true_res = jnp.linalg.norm(b - A.spmv(x)) / jnp.where(bn > 0.0, bn, 1.0)
+    info = {"iterations": iters, "residual": res, "true_residual": true_res}
+
+    if options.fail_action != "ignore":
+        # non-convergence diagnostics (the Aleph stop_error_strategy role:
+        # dump the system to SolveErrorAlephMatrix.dbg,
+        # AlephDoFLinearSystem.cc:360-362).  Costs one host scalar fetch.
+        it_h, res_h = int(iters), float(res)
+        if it_h >= options.max_iter and res_h > options.rtol:
+            path = _dump_solve_failure(A, b, x0, options, info)
+            import warnings
+
+            warnings.warn(
+                f"solver '{options.method}' did NOT converge: "
+                f"{it_h} iters, monitored rel residual {res_h:.3e} "
+                f"(true ||b-Ax||/||b|| {float(true_res):.3e})"
+                + (f"; system dumped to {path}" if path else ""),
+                stacklevel=2,
+            )
+            if options.fail_action == "raise":
+                raise RuntimeError(
+                    f"linear solve failed to converge ({it_h} iters, "
+                    f"rel residual {res_h:.3e} > rtol {options.rtol:g})"
+                )
+    return x, info
+
+
+def _dump_solve_failure(A, b, x0, options, info) -> str | None:
+    """Write the failed system as an npz artifact (BELL values + columns +
+    rhs + guess), mirroring Aleph's SolveErrorAlephMatrix.dbg dump.  Best
+    effort — never raises."""
+    import os
+
+    try:
+        path = os.path.join(
+            os.environ.get("AFEM_SOLVE_DEBUG_DIR", "."),
+            "SolveErrorMatrix.npz",
+        )
+        payload = {
+            "rhs": np.asarray(b),
+            "x0": np.asarray(x0),
+            "method": np.str_(options.method),
+            "preconditioner": np.str_(options.preconditioner),
+            "rtol": np.float64(options.rtol),
+            "iterations": np.int64(int(info["iterations"])),
+            "residual": np.float64(float(info["residual"])),
+        }
+        topo = getattr(A, "topo", None)
+        vals = getattr(A, "values", None)
+        if topo is not None and vals is not None:
+            payload["bell_values"] = np.asarray(vals)
+            payload["ell_cols"] = np.asarray(topo.ell_cols)
+        np.savez_compressed(path, **payload)
+        return path
+    except Exception:
+        return None

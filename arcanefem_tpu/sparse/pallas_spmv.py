@@ -279,7 +279,10 @@ def _make_kernel(G: int, slot_rows: tuple):
             chunk = jnp.broadcast_to(win[k], (G, LANE))
             got = jnp.take_along_axis(chunk, lj, axis=1)
             acc = acc + jnp.where(hi == k, got, 0.0)
-        out_ref[0] = vals_ref[0] * acc
+        # weights may ride as bf16 (preconditioner-only precision — halves
+        # the nnz-sized weight stream, the kernel's dominant HBM traffic);
+        # the product/accumulation stays f32
+        out_ref[0] = vals_ref[0].astype(jnp.float32) * acc
 
     return body
 
@@ -447,6 +450,14 @@ class PlannedGather:
         out = prods.reshape(nb * R, self.width).sum(axis=1)[: self.n_rows]
         return out.astype(table.dtype)
 
+    def with_weights_dtype(self, dtype) -> "PlannedGather":
+        """Same plan, weights cast (bf16 halves the weight stream; kernel
+        accumulation stays f32 — preconditioner-rate-only precision)."""
+        return PlannedGather(
+            self.vals_tiled.astype(dtype), self.lcols, self.lo,
+            self.key, self.n_rows, self.width, self.need_rows,
+        )
+
 
 def _planned_gather_flatten(g):
     return (
@@ -481,6 +492,15 @@ class ChainedGather:
 
     def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
         return self.stage2(self.stage1(table))
+
+    def with_weights_dtype(self, dtype) -> "ChainedGather":
+        # stage2's weights are structural 1.0s — casting them too keeps its
+        # (tiny) stream half-width as well
+        return ChainedGather(
+            self.stage1.with_weights_dtype(dtype),
+            self.stage2.with_weights_dtype(dtype),
+            self.n_rows,
+        )
 
 
 jax.tree_util.register_pytree_node(

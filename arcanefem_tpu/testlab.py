@@ -148,6 +148,14 @@ FORMATS = {
     ),
 }
 
+# ``dia-stencil`` (the build-less-CSR analogue: sparsity derived from mesh
+# structure, zero search/sort) only exists for generated structured boxes —
+# it assembles a DiaMatrix via static slice-adds (mesh/structured.py) rather
+# than BELL values over a Topology, so it is dispatched separately in
+# run_lab/cross_validate and validated by SpMV equivalence instead of a
+# value-array diff.
+STRUCTURED_FORMATS = ("dia-stencil",)
+
 
 # --------------------------------------------------------------------------
 # the lab
@@ -161,22 +169,37 @@ def element_matrices(mesh: Mesh, dtype) -> dict:
     }
 
 
-def cross_validate(mesh: Mesh, dtype=np.float64, rtol=1e-12) -> dict:
-    """Every strategy against the first one (testlab CROSS_VALIDATION)."""
+def cross_validate(mesh: Mesh, dtype=np.float64, rtol=1e-12, box=None) -> dict:
+    """Every strategy against the first one (testlab CROSS_VALIDATION).
+
+    With a StructuredBox, additionally validates the dia-stencil assembly
+    by SpMV equivalence (its DIA layout has no BELL value array to diff)."""
     topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
     mats = element_matrices(mesh, dtype)
     ref = None
+    refA = None
     report = {}
     for name, fn in FORMATS.items():
         A = fn(topo, mats, dtype)
         v = np.asarray(A.values).reshape(-1)
         if ref is None:
-            ref = v
+            ref, refA = v, A
             report[name] = 0.0
         else:
             scale = np.abs(ref).max()
             report[name] = float(np.abs(v - ref).max() / scale)
             assert report[name] < rtol, (name, report[name])
+    if box is not None:
+        c3d = jnp.asarray(mesh.coords.astype(dtype).reshape(
+            box.nx + 1, box.ny + 1, box.nz + 1, 3))
+        Ad = box.assemble_stiffness(c3d, backend="xla")
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(mesh.n_nodes).astype(dtype))
+        yd = np.asarray(Ad.spmv(x))
+        yb = np.asarray(refA.spmv(x))
+        err = float(np.abs(yd - yb).max() / np.abs(yb).max())
+        report["dia-stencil"] = err
+        assert err < rtol, ("dia-stencil", err)
     return report
 
 
@@ -186,9 +209,11 @@ def run_lab(
     cache_warming: int = 5,
     dtype=np.float32,
     json_path: str | None = None,
+    box=None,
 ) -> dict:
     """Timed assembly runs per format (run-benchmark.sh semantics:
-    CACHE_WARMING repeats, per-phase stats, JSON dump)."""
+    CACHE_WARMING repeats, per-phase stats, JSON dump).  ``box`` (a
+    StructuredBox matching the mesh) enables the dia-stencil strategy."""
     timer = PhaseTimer(verbose=False)
     with timer.phase("build-topology"):
         topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
@@ -204,7 +229,34 @@ def run_lab(
         "cache_warming": cache_warming,
         "formats": {},
     }
-    for name in formats or FORMATS:
+    names = list(formats) if formats else (
+        list(FORMATS) + (list(STRUCTURED_FORMATS) if box is not None else [])
+    )
+    for name in names:
+        if name in STRUCTURED_FORMATS:
+            if box is None:
+                raise ValueError(
+                    f"'{name}' needs a structured mesh (run with --box)")
+            c3d = coords.reshape(box.nx + 1, box.ny + 1, box.nz + 1, 3)
+
+            @jax.jit
+            def assemble(c3d):
+                return box.assemble_stiffness(c3d).bands
+
+            v = assemble(c3d)
+            _ = float(jnp.sum(v))
+            times = []
+            for _i in range(cache_warming):
+                t0 = time.perf_counter()
+                v = assemble(c3d)
+                _ = float(jnp.sum(v))
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            stats["formats"][name] = {
+                "lhs-matrix-assembly": best,
+                "mdof_per_s": mesh.n_nodes / best / 1e6,
+            }
+            continue
         fn = FORMATS[name]
 
         @jax.jit
@@ -241,7 +293,9 @@ def main(argv=None):
     p.add_argument("--mesh", help=".msh file (default: generated box)")
     p.add_argument("--box", type=int, default=0, help="generated box n^3")
     p.add_argument("--rect", type=int, default=0, help="generated rect n^2")
-    p.add_argument("--formats", default=",".join(FORMATS))
+    p.add_argument("--formats", default="",
+                   help="comma list (default: all applicable, incl. "
+                        "dia-stencil on generated boxes)")
     p.add_argument("--cache-warming", type=int, default=5)
     p.add_argument("--json", dest="json_path")
     p.add_argument("--cross-validate", action="store_true")
@@ -271,25 +325,31 @@ def main(argv=None):
                   file=_sys.stderr)
             _jax.config.update("jax_platforms", "cpu")
 
+    box = None
     if args.mesh:
         mesh = read_msh(args.mesh)
     elif args.rect:
         mesh = rect_tria_mesh(args.rect, args.rect)
     else:
+        from .mesh.structured import StructuredBox
+
         n = args.box or 20
+        box = StructuredBox(n, n, n)
         mesh = box_tetra_mesh(n, n, n)
 
     if args.cross_validate:
-        report = cross_validate(mesh)
+        report = cross_validate(mesh, box=box)
         print(json.dumps({"cross_validation_max_rel": report}))
         return
 
+    fmts = args.formats.split(",") if args.formats else None
     stats = run_lab(
         mesh,
-        formats=args.formats.split(","),
+        formats=fmts,
         cache_warming=args.cache_warming,
         dtype=np.float64 if args.f64 else np.float32,
         json_path=args.json_path,
+        box=box,
     )
     print(json.dumps(stats))
 

@@ -197,3 +197,66 @@ def test_amg_chebyshev_smoother():
 
     assert int(kc) <= int(kj), f"cheb {int(kc)} vs jacobi {int(kj)}"
     np.testing.assert_allclose(np.asarray(xc), np.asarray(xj), atol=2e-7)
+
+
+def test_bf16_vcycle_iteration_parity():
+    """bf16-precision level operators are preconditioner-rate-only: PCG
+    with a bf16-quantized V-cycle must converge to the same answer within
+    a couple of extra iterations (with_bf16_vcycle rationale; on TPU the
+    quantization lives in the window kernels' weight streams — emulated
+    here by round-tripping the level values through bfloat16)."""
+    from dataclasses import replace
+
+    A, rhs, x0 = _poisson_system()
+    M = build_amg(A, use_pallas=False)
+    xa, ka, _ = pcg(A, rhs, M, x0, 1e-10, 0.0, 3000)
+
+    def quant(m):
+        v = m.values.astype(jnp.bfloat16).astype(m.values.dtype)
+        return m.with_values(v.reshape(v.shape[0], -1))
+
+    Mq = replace(
+        M,
+        vmats=tuple(quant(m) for m in M.mats),
+        pvals=tuple(
+            p.astype(jnp.bfloat16).astype(p.dtype) for p in M.pvals),
+        ptvals=tuple(
+            p.astype(jnp.bfloat16).astype(p.dtype) for p in M.ptvals),
+    )
+    xq, kq, _ = pcg(A, rhs, Mq, x0, 1e-10, 0.0, 3000)
+
+    assert int(kq) <= int(ka) + 3, f"bf16 V-cycle {int(kq)} vs f32 {int(ka)}"
+    np.testing.assert_allclose(np.asarray(xq), np.asarray(xa), atol=2e-7)
+
+
+def test_with_bf16_vcycle_casts_planned_levels():
+    """with_bf16_vcycle: _PlannedMat levels get bf16 gather weights in
+    vmats, mats stay untouched (the Krylov fine operator must remain f32)."""
+    from arcanefem_tpu.solver.amg import _PlannedMat, with_bf16_vcycle
+    from arcanefem_tpu.sparse.pallas_spmv import PlannedGather
+
+    A, rhs, x0 = _poisson_system(n=8)
+    M = build_amg(A, use_pallas=False)
+
+    # graft a PlannedGather onto level 0 (CPU: plans build, kernels don't run)
+    t = M.mats[0].topo
+    cols = np.where(np.asarray(t.ell_valid), np.asarray(t.ell_cols), 0)
+    w = np.asarray(M.mats[0].values, np.float32).reshape(t.n_nodes, t.width)
+    w = w * np.asarray(t.ell_valid)
+    g = PlannedGather.build(cols, w, wcap=0)
+    if g is None:
+        import pytest
+
+        pytest.skip("no window plan for this mesh")
+    Mp = replace_level0(M, _PlannedMat(M.mats[0], g))
+    Mb = with_bf16_vcycle(Mp)
+    assert Mb.vmats[0].gather.vals_tiled.dtype == jnp.bfloat16
+    # original hierarchy untouched
+    assert Mb.mats[0].gather.vals_tiled.dtype == jnp.float32
+    assert Mp.vmats == ()
+
+
+def replace_level0(M, m0):
+    from dataclasses import replace
+
+    return replace(M, mats=(m0,) + tuple(M.mats[1:]))

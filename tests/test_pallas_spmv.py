@@ -407,3 +407,33 @@ def test_lane_assembler_reorder_matches_segsum_on_tpu():
     v1 = np.asarray(a_seg(coords))
     v2 = np.asarray(a_re(coords))
     np.testing.assert_allclose(v2, v1, rtol=3e-5, atol=1e-6)
+
+
+def test_planned_gather_bf16_weights():
+    """with_weights_dtype(bf16): same plan, half-width weight stream; the
+    emulated product (f32 accumulate, like the kernel) stays within bf16
+    relative error of the f32 reference."""
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.sparse.pallas_spmv import PlannedGather
+
+    rng = np.random.RandomState(1)
+    n, W = 1500, 8
+    cols = (np.arange(n)[:, None] * 3 + rng.randint(0, 40, (n, W))) % (3 * n)
+    w = rng.rand(n, W).astype(np.float32)
+    g = PlannedGather.build(cols, w)
+    assert g is not None
+    gb = g.with_weights_dtype(jnp.bfloat16)
+    assert gb.vals_tiled.dtype == jnp.bfloat16
+    assert gb.key == g.key and gb.n_rows == g.n_rows
+
+    table = rng.rand(3 * n).astype(np.float32)
+    ref = (w * table[cols]).sum(axis=1)
+
+    # emulate with the quantized weights (the kernel upcasts to f32)
+    gq = g.with_weights_dtype(jnp.bfloat16).with_weights_dtype(jnp.float32)
+    got = _emulate(gq, table)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=1e-2)
+    # and it is genuinely quantized, not a pass-through
+    assert np.abs(np.asarray(gq.vals_tiled) -
+                  np.asarray(g.vals_tiled)).max() > 0

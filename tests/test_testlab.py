@@ -19,6 +19,28 @@ def test_cross_validation_box():
     assert max(report.values()) < 1e-12
 
 
+def test_cross_validation_dia_stencil():
+    """dia-stencil (build-less structured assembly) must agree with the
+    BELL strategies by SpMV equivalence (its DIA layout has no BELL value
+    array); the BlCsr 'sparsity from structure' analogue."""
+    from arcanefem_tpu.mesh.structured import StructuredBox
+
+    box = StructuredBox(6, 5, 4)
+    report = testlab.cross_validate(box.to_mesh(), box=box)
+    assert "dia-stencil" in report
+    assert max(report.values()) < 1e-12
+
+
+def test_run_lab_dia_stencil():
+    from arcanefem_tpu.mesh.structured import StructuredBox
+
+    box = StructuredBox(5, 4, 3)
+    stats = testlab.run_lab(
+        box.to_mesh(), cache_warming=2, dtype=np.float64, box=box
+    )
+    assert stats["formats"]["dia-stencil"]["lhs-matrix-assembly"] > 0
+
+
 def test_cross_validation_mixed_mesh():
     mesh = read_msh("/root/reference/meshes/msh/bar_hybrid_quad_tria.msh")
     report = testlab.cross_validate(mesh)

@@ -51,6 +51,13 @@ run bench_sn_bf16 3600 BENCH_BOX=0 BENCH_SN_BF16=1 python bench.py
 run bench_sn_block 3600 BENCH_BOX=0 BENCH_SN_BLOCK=1 python bench.py
 run test_supernode 1800 python -m pytest tests/test_supernode.py -q
 
+# 2d. bf16 V-cycle window weights (with_bf16_vcycle: level operators +
+#     transfers at half weight-stream width; Krylov A·p stays f32.
+#     Structured precedent: 0.134->0.122 s.  Guarded by
+#     tests/test_amg.py::test_bf16_vcycle_iteration_parity)
+run bench_vcycle_bf16 3600 BENCH_BOX=0 BENCH_UNSTR_BF16=1 python bench.py
+run bench_vcycle_bf16_win 3600 BENCH_BOX=0 BENCH_UNSTR_BF16=1 BENCH_UNSTR_SPMV=window python bench.py
+
 # 3. stability gate for the fused structured composition
 run stability 3600 python bench.py --stability 3
 
