@@ -408,6 +408,30 @@ class AMGPrecond:
         return self._vcycle(0, r)
 
 
+def _coarse_inverse(coarse_dense: np.ndarray) -> np.ndarray:
+    """Exact inverse of the coarsest operator, with a least-squares
+    fallback: aggressive prolongator truncation can leave a genuinely
+    singular Galerkin coarse operator (near-duplicate aggregate columns),
+    and a pinv coarse solve keeps the V-cycle a valid (semi-)
+    preconditioner instead of crashing setup.  Row-scaled pinv so the
+    rcond cut is per-row — penalty rows carry ~1e12/1e30 diagonals that
+    would otherwise set the global singular-value scale and discard every
+    physical mode."""
+    d = np.abs(np.diag(coarse_dense))
+    d = np.where(d > 0.0, d, 1.0)
+    B = coarse_dense / d[:, None]  # row-equilibrated
+    try:
+        Binv = np.linalg.inv(B)
+        # np.linalg.inv does NOT reliably raise on exactly-singular input
+        # (LU pivot roundoff) — verify the inverse actually inverts
+        resid = np.abs(B @ Binv - np.eye(B.shape[0])).max()
+        if np.isfinite(resid) and resid < 1e-6:
+            return Binv / d[None, :]
+    except np.linalg.LinAlgError:
+        pass
+    return np.linalg.pinv(B, rcond=1e-10) / d[None, :]
+
+
 def build_amg(
     A: BellMatrix,
     theta: float = 0.08,
@@ -735,7 +759,7 @@ def build_amg(
         if zero_rows.any():
             idx = np.flatnonzero(zero_rows)
             coarse_dense[idx, idx] = 1.0
-    coarse_inv = jnp.asarray(np.linalg.inv(coarse_dense).astype(dtype))
+    coarse_inv = jnp.asarray(_coarse_inverse(coarse_dense).astype(dtype))
     return AMGPrecond(
         mats=tuple(bell_mats),
         inv_diags=tuple(inv_diags),

@@ -481,13 +481,20 @@ def bench_unstructured() -> dict:
     # BENCH_AMG_SMOOTHER=jacobi reverts
     amg_smoother = os.environ.get("BENCH_AMG_SMOOTHER", "chebyshev")
     amg_cheb = int(os.environ.get("BENCH_AMG_CHEB_DEG", "2"))
+    # strength threshold 0.03 (vs build_amg's generic 0.08): on the v3
+    # sphere_cut geometry the looser filter wins BOTH axes — 26->21 iters
+    # AND operator complexity 1.456->1.221 at 2.1M (tools/conv_tune.py,
+    # platform-independent iteration counts; /tmp/conv_tune.jsonl)
+    amg_theta = float(os.environ.get("BENCH_AMG_THETA", "0.03"))
     amg_path = os.path.join(
         "/tmp/afem_meshes",
-        f"amg_{key}_{amg_smoother}{amg_cheb}_{platform}_p{penalty:g}_v1.pkl",
+        f"amg_{key}_{amg_smoother}{amg_cheb}_t{amg_theta:g}"
+        f"_{platform}_p{penalty:g}_v1.pkl",
     )
     M, amg_cached = _pickle_cache(
         amg_path,
-        lambda: build_amg(A, smoother=amg_smoother, cheb_deg=amg_cheb),
+        lambda: build_amg(A, smoother=amg_smoother, cheb_deg=amg_cheb,
+                          theta=amg_theta),
         "AMG hierarchy",
     )
     setup_s = time.time() - t0

@@ -51,6 +51,13 @@ run bench_sn_bf16 3600 BENCH_BOX=0 BENCH_SN_BF16=1 python bench.py
 run bench_sn_block 3600 BENCH_BOX=0 BENCH_SN_BLOCK=1 python bench.py
 run test_supernode 1800 python -m pytest tests/test_supernode.py -q
 
+# 2c2. AMG strength-threshold A/B (tools/conv_tune.py CPU result at 2.1M:
+#      theta .03 = 21 iters / opc 1.221 vs default-.08 26 / 1.456; .05+cheb3
+#      = 18 iters at opc 1.36.  theta .03 is now the bench default; these
+#      check the per-iteration TPU cost side)
+run bench_theta08 3600 BENCH_BOX=0 BENCH_AMG_THETA=0.08 python bench.py
+run bench_theta05c3 3600 BENCH_BOX=0 BENCH_AMG_THETA=0.05 BENCH_AMG_CHEB_DEG=3 python bench.py
+
 # 2d. bf16 V-cycle window weights (with_bf16_vcycle: level operators +
 #     transfers at half weight-stream width; Krylov A·p stays f32.
 #     Structured precedent: 0.134->0.122 s.  Guarded by
