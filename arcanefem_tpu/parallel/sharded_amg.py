@@ -95,6 +95,9 @@ def build_sharded_amg(sp: ShardedProblem, amg: AMGPrecond) -> ShardedAMG:
         # chebyshev hierarchy reads rhos[l] inside the inner cycle, and a
         # supernode l0_binv only matches level-0 shapes
         rhos=amg.rhos[1:] if amg.rhos else (),
+        # per-level chebyshev degree tuples shift down with the levels
+        cheb_deg=(amg.cheb_deg[1:] or amg.cheb_deg[-1:])
+        if isinstance(amg.cheb_deg, (tuple, list)) else amg.cheb_deg,
         l0_binv=None,
         p_apply=(),
         pt_apply=(),

@@ -338,6 +338,18 @@ class AMGPrecond:
             x = x + om * self._minv(l, b - self._mat(l).spmv(x))
         return x
 
+    def _deg(self, l: int) -> int:
+        """Chebyshev degree at level l: cheb_deg may be an int or a
+        per-level tuple (last entry repeats for deeper levels).  Stronger
+        coarse-level smoothing is nearly free — levels 1+ together carry
+        only (opc-1) ≈ 0.2-0.6 of the fine level's nnz — and it is what
+        restores iteration scalability at 10M (64 -> fewer iters; see
+        ROADMAP round-3 notes / tools/conv_tune.py)."""
+        cd = self.cheb_deg
+        if isinstance(cd, (tuple, list)):
+            return int(cd[min(l, len(cd) - 1)])
+        return int(cd)
+
     def _cheb_params(self, l: int):
         lmax = 1.1 * self.rhos[l]
         lmin = lmax / 4.0
@@ -354,7 +366,7 @@ class AMGPrecond:
         d = self._minv(l, r) / theta
         x = d if x is None else x + d
         rho_old = 1.0 / sigma
-        for _ in range(self.cheb_deg - 1):
+        for _ in range(self._deg(l) - 1):
             r = b - Al.spmv(x)
             rho_new = 1.0 / (2.0 * sigma - rho_old)
             d = (rho_new * rho_old) * d \

@@ -480,7 +480,11 @@ def bench_unstructured() -> dict:
     # SpMV budget and 15 fewer iterations' worth of dots/transfers;
     # BENCH_AMG_SMOOTHER=jacobi reverts
     amg_smoother = os.environ.get("BENCH_AMG_SMOOTHER", "chebyshev")
-    amg_cheb = int(os.environ.get("BENCH_AMG_CHEB_DEG", "2"))
+    # int or comma list ("2,4" = per-level degrees, last repeats: stronger
+    # smoothing on the cheap coarse levels restores 10M iteration scaling)
+    _cd = os.environ.get("BENCH_AMG_CHEB_DEG", "2")
+    amg_cheb = tuple(int(x) for x in _cd.split(",")) if "," in _cd \
+        else int(_cd)
     # strength threshold 0.03 (vs build_amg's generic 0.08): on the v3
     # sphere_cut geometry the looser filter wins BOTH axes — 26->21 iters
     # AND operator complexity 1.456->1.221 at 2.1M (tools/conv_tune.py,
@@ -488,8 +492,8 @@ def bench_unstructured() -> dict:
     amg_theta = float(os.environ.get("BENCH_AMG_THETA", "0.03"))
     amg_path = os.path.join(
         "/tmp/afem_meshes",
-        f"amg_{key}_{amg_smoother}{amg_cheb}_t{amg_theta:g}"
-        f"_{platform}_p{penalty:g}_v1.pkl",
+        f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
+        f"_t{amg_theta:g}_{platform}_p{penalty:g}_v1.pkl",
     )
     M, amg_cached = _pickle_cache(
         amg_path,

@@ -310,3 +310,20 @@ def test_theta003_converges_with_leaner_hierarchy():
     assert opc(M3) <= opc(M8) + 1e-9, (opc(M3), opc(M8))
     assert int(k3) <= int(k8) + 2, f"theta.03 {int(k3)} vs .08 {int(k8)}"
     np.testing.assert_allclose(np.asarray(x3), np.asarray(x8), atol=2e-7)
+
+
+def test_per_level_cheb_degree():
+    """cheb_deg may be a per-level tuple (last entry repeats).  The
+    smoother must read its level's degree and still produce the same
+    solution; build_sharded_amg shifts the tuple with the stripped level."""
+    A, rhs, x0 = _poisson_system()
+    M = build_amg(A, use_pallas=False, smoother="chebyshev",
+                  cheb_deg=(2, 4, 5))
+    assert M._deg(0) == 2 and M._deg(1) == 4
+    assert M._deg(2) == 5 and M._deg(9) == 5  # last entry repeats
+    x, k, _ = pcg(A, rhs, M, x0, 1e-10, 0.0, 3000)
+    M2 = build_amg(A, use_pallas=False, smoother="chebyshev")
+    x2, k2, _ = pcg(A, rhs, M2, x0, 1e-10, 0.0, 3000)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2), atol=2e-7)
+    # coarse smoothing can only help (never hurt) the iteration count
+    assert int(k) <= int(k2) + 1

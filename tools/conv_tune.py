@@ -116,23 +116,34 @@ def quantize_vcycle(M):
 
 def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False, **amg_kw):
     import pickle
+    from dataclasses import replace
 
     from arcanefem_tpu.solver.amg import build_amg
     from arcanefem_tpu.solver.iterative import pcg
 
-    cfg_key = "_".join(f"{k}-{v}" for k, v in sorted(amg_kw.items()))
-    path = f"/tmp/afem_meshes/tune_{key}_{cfg_key}.pkl"
+    # the hierarchy (mats/transfers/omegas/rhos) depends only on the
+    # STRUCTURAL knobs — smoother/cheb_deg/nu are pure apply-time meta, so
+    # one cached setup serves every smoother config at that theta/trunc
+    structural = {k: v for k, v in amg_kw.items()
+                  if k in ("theta", "trunc_kmax", "trunc_rel",
+                           "coarse_size", "max_levels", "omega")}
+    meta = {k: v for k, v in amg_kw.items() if k not in structural}
+    cfg_key = "_".join(f"{k}-{v}" for k, v in sorted(structural.items()))
+    dt = np.dtype(np.asarray(A.values).dtype).name  # hierarchy dtype
+    path = f"/tmp/afem_meshes/tune_{key}_{dt}_{cfg_key}.pkl"
     t0 = time.time()
     if os.path.exists(path):
         with open(path, "rb") as f:
             M = pickle.load(f)
         cached = True
     else:
-        M = build_amg(A, use_pallas=False, **amg_kw)
+        M = build_amg(A, use_pallas=False, **structural)
         with open(path + ".tmp", "wb") as f:
             pickle.dump(M, f, protocol=4)
         os.replace(path + ".tmp", path)
         cached = False
+    if meta:
+        M = replace(M, **meta)
     setup_s = time.time() - t0
     if bf16:
         M = quantize_vcycle(M)
@@ -144,14 +155,22 @@ def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False, **amg_kw):
     true_res = float(jnp.linalg.norm(b - A.spmv(x)) / jnp.linalg.norm(b))
 
     # V-cycle fine-SpMV-equivalent cost model (what the iteration count
-    # multiplies on TPU): pre+post smoothing sweeps + residual + coarse
-    # levels at measured operator complexity.
-    opc = sum(float(np.asarray(m.values).size) for m in M.mats) / float(
-        np.asarray(M.mats[0].values).size)
+    # multiplies on TPU): per level, pre-smooth (deg_l-1 SpMVs) + residual
+    # (1) + post-smooth (deg_l) = 2·deg_l SpMVs, weighted by level nnz.
+    w0 = float(np.asarray(M.mats[0].values).size)
+    wts = [float(np.asarray(m.values).size) / w0 for m in M.mats]
+    opc = sum(wts)
     smoother = amg_kw.get("smoother", "jacobi")
     deg = amg_kw.get("cheb_deg", 2) if smoother == "chebyshev" else \
-        2 * amg_kw.get("nu", 1)
-    cost = iters * (1.0 + (deg + 1.0) * opc)  # Krylov SpMV + cycle work
+        amg_kw.get("nu", 1)
+
+    def deg_l(l):
+        if isinstance(deg, (tuple, list)):
+            return deg[min(l, len(deg) - 1)]
+        return deg
+
+    cycle = sum(2.0 * deg_l(l) * w for l, w in enumerate(wts))
+    cost = iters * (1.0 + cycle)  # Krylov fine SpMV + cycle work
 
     row = {
         "name": name, "key": key, "iters": iters,
@@ -186,6 +205,13 @@ CONFIGS = {
     "theta05bf16": dict(smoother="chebyshev", cheb_deg=2, theta=0.05,
                         bf16=True),
     "theta05j": dict(smoother="jacobi", theta=0.05),
+    # per-level chebyshev degree: stronger smoothing on the cheap coarse
+    # levels (2·deg_l·w_l extra SpMV work, w_l ~ 0.1-0.3) to restore
+    # iteration scalability at 10M (64 iters with uniform deg 2)
+    "t03deg24": dict(smoother="chebyshev", cheb_deg=(2, 4), theta=0.03),
+    "t03deg26": dict(smoother="chebyshev", cheb_deg=(2, 6), theta=0.03),
+    "t03deg34": dict(smoother="chebyshev", cheb_deg=(3, 4), theta=0.03),
+    "t05deg24": dict(smoother="chebyshev", cheb_deg=(2, 4), theta=0.05),
     # prolongator truncation: wider P = better rate, costlier cycle
     "trunc12": dict(smoother="chebyshev", cheb_deg=2, trunc_kmax=12),
     "trunc6": dict(smoother="chebyshev", cheb_deg=2, trunc_kmax=6,
