@@ -267,7 +267,7 @@ jax.tree_util.register_pytree_node(
     data_fields=["mats", "inv_diags", "pcols", "pvals", "ptcols", "ptvals",
                  "coarse_inv", "p_apply", "pt_apply", "l0_binv", "vmats"],
     meta_fields=["nu", "omegas", "smoother", "cheb_deg", "rhos",
-                 "sawtooth"],
+                 "sawtooth", "cycle"],
 )
 @dataclass
 class AMGPrecond:
@@ -342,9 +342,10 @@ class AMGPrecond:
         """Chebyshev degree at level l: cheb_deg may be an int or a
         per-level tuple (last entry repeats for deeper levels).  Stronger
         coarse-level smoothing is nearly free — levels 1+ together carry
-        only (opc-1) ≈ 0.2-0.6 of the fine level's nnz — and it is what
-        restores iteration scalability at 10M (64 -> fewer iters; see
-        ROADMAP round-3 notes / tools/conv_tune.py)."""
+        only (opc-1) ≈ 0.2-0.6 of the fine level's nnz.  Measured
+        (tools/conv_tune.py): coarse-degree boosts alone do NOT fix the
+        8.9M iteration growth (55 -> 56 with (2,4)) — that is a
+        coarse-grid-correction effect, addressed by cycle="W"."""
         cd = self.cheb_deg
         if isinstance(cd, (tuple, list)):
             return int(cd[min(l, len(cd) - 1)])
@@ -392,6 +393,10 @@ class AMGPrecond:
     # +48% of per-iteration dots/transfers is counted), jacobi 40→64.
     # Kept as a documented negative result; off by default.
     sawtooth: bool = False
+    # "V" (default) or "W": W recurses twice per coarse level — only the
+    # cheap levels 1+ double, and it restores iteration scalability when
+    # the deep-level coarse-grid correction degrades at 10M-class sizes
+    cycle: str = "V"
 
     def _vcycle(self, l: int, b):
         if l == len(self.mats):
@@ -409,6 +414,14 @@ class AMGPrecond:
             rc = self._transfer_down(l, r)
             xc = self._vcycle(l + 1, rc)
             x = x + self._transfer_up(l, xc)
+            if self.cycle == "W" and l + 1 < len(self.mats):
+                # W-cycle: second coarse visit with the updated residual.
+                # Only coarse-level work doubles — levels 1+ carry just
+                # (opc−1) of the fine nnz, so the extra cost is small
+                # while coarse-grid-correction quality compounds.
+                r = b - self._mat(l).spmv(x)
+                xc = self._vcycle(l + 1, self._transfer_down(l, r))
+                x = x + self._transfer_up(l, xc)
         if self.smoother == "chebyshev":
             return self._smooth_cheb(l, b, x)
         om = jnp.asarray(self.omegas[l], b.dtype)
@@ -458,6 +471,7 @@ def build_amg(
     trunc_kmax: int = 8,
     trunc_rel: float = 0.05,
     sawtooth: bool = False,
+    cycle: str = "V",
 ) -> AMGPrecond:
     """Host-side setup: strength -> aggregation -> Galerkin, per level.
 
@@ -788,6 +802,7 @@ def build_amg(
         cheb_deg=cheb_deg,
         rhos=tuple(float(r) for r in rhos),
         sawtooth=sawtooth,
+        cycle=cycle,
     )
 
 

@@ -94,8 +94,10 @@ def _two_sum(a: Array, b: Array) -> tuple[Array, Array]:
 
 
 def _split(a: Array) -> tuple[Array, Array]:
-    # Dekker split; factor 2^12+1 for f32 (f64 never routes through here).
-    c = a * jnp.asarray(4097.0, a.dtype)
+    # Dekker split; factor 2^ceil(p/2)+1: 2^12+1 for f32, 2^27+1 for f64
+    # (f64 routes through here on CPU golden runs)
+    factor = 4097.0 if a.dtype == jnp.float32 else 134217729.0
+    c = a * jnp.asarray(factor, a.dtype)
     big = c - (c - a)
     return big, a - big
 
@@ -238,6 +240,139 @@ def pcg(
     rel = jnp.sqrt(
         jnp.abs(rz)
         / jnp.maximum(jnp.abs(rz0), jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype))
+    )
+    return x, k, rel
+
+
+def _pair_add(hi: Array, lo: Array, u: Array) -> tuple[Array, Array]:
+    """(hi + lo) + u as a renormalized double-f32 pair (two_sum chain)."""
+    s, e = _two_sum(hi, u)
+    lo = lo + e
+    hi, lo = _two_sum(s, lo)
+    return hi, lo
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def pcg_pair(
+    A: BellMatrix,
+    b: Array,
+    M: Precond,
+    x0: Array,
+    rtol: float,
+    atol: float,
+    max_iter: int,
+):
+    """Pair-precision PCG: x and r ride as double-f32 pairs.
+
+    Keeping x and r as compensated f32 pairs (two_sum updates; both words
+    enter the compensated dot) removes update-rounding ACCUMULATION from
+    the recursion while the SpMV and the preconditioner stay FULL-SPEED
+    f32.  Cost: ~6 extra elementwise passes per iteration — a few percent
+    on nnz-bound iterations.
+
+    Measured on the sphere_cut bench systems (tools/conv_tune.py,
+    /tmp/conv_tune.jsonl): at 1.9M DoF / rtol 1e-8, plain f32 PCG with
+    compensated dots ALREADY matches the f64 iteration count (21 = 21) —
+    dot2 is the load-bearing compensation at that target.  pcg_pair is
+    the guard for tighter targets (rtol ≲ 1e-10 in f32) and for systems
+    where the update-rounding floor binds; it is exact-arithmetic
+    equivalent to pcg (solutions match, tests/test_amg.py).
+
+    The reference pipeline solves in f64 (Hypre PCG,
+    HypreDoFLinearSystem.cc:686-742); f32+compensation is the TPU-native
+    equivalent that avoids emulated-f64 kernels entirely.
+    """
+    dot = precise_dot
+
+    zeros = jnp.zeros_like(b)
+    r0 = b - A.spmv(x0)
+    z0 = M.apply(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    tol2 = jnp.maximum(rtol * rtol * jnp.abs(rz0), atol * atol)
+
+    def cond(state):
+        _xh, _xl, _rh, _rl, _z, _p, rz, k = state
+        return (jnp.abs(rz) > tol2) & (k < max_iter)
+
+    def body(state):
+        xh, xl, rh, rl, z, p, rz, k = state
+        Ap = A.spmv(p)
+        alpha = rz / dot(p, Ap)
+        xh, xl = _pair_add(xh, xl, alpha * p)
+        # α·Ap enters through two_prod so its own rounding is carried too
+        uh, ul = _two_prod(jnp.broadcast_to(alpha, Ap.shape), Ap)
+        rh, rl = _pair_add(rh, rl, -uh)
+        rl = rl - ul
+        z = M.apply(rh)
+        rz_new = dot(rh, z) + dot(rl, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (xh, xl, rh, rl, z, p, rz_new, k + 1)
+
+    xh, xl, _rh, _rl, _z, _p, rz, k = jax.lax.while_loop(
+        cond, body, (x0, zeros, r0, zeros, z0, p0, rz0, jnp.int32(0))
+    )
+    rel = jnp.sqrt(
+        jnp.abs(rz)
+        / jnp.maximum(jnp.abs(rz0),
+                      jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype))
+    )
+    return xh + xl, k, rel
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def pcg_flex(
+    A: BellMatrix,
+    b: Array,
+    M: Precond,
+    x0: Array,
+    rtol: float,
+    atol: float,
+    max_iter: int,
+):
+    """Flexible PCG (IPCG / Polak-Ribière beta, Golub-Ye / Notay).
+
+    beta = z_new·(r_new − r_old) / (z_old·r_old) instead of the standard
+    Fletcher-Reeves rz_new/rz — exact-arithmetic-equivalent for a FIXED
+    SPD preconditioner, but robust when M varies per apply (inner
+    iterative smoothers, adaptive preconditioners).  One extra
+    compensated dot + one kept vector per iteration.  Probe data
+    (tools/conv_tune.py, 1.9M sphere_cut): the f32 V-cycle's
+    input-dependent rounding is conjugacy-benign — same 21 iterations as
+    standard PCG — so this stays opt-in for genuinely variable M.
+    """
+    dot = precise_dot
+
+    r0 = b - A.spmv(x0)
+    z0 = M.apply(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    tol2 = jnp.maximum(rtol * rtol * jnp.abs(rz0), atol * atol)
+
+    def cond(state):
+        _x, _r, _z, _p, rz, k = state
+        return (jnp.abs(rz) > tol2) & (k < max_iter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = A.spmv(p)
+        alpha = rz / dot(p, Ap)
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z_new = M.apply(r_new)
+        rz_new = dot(r_new, z_new)
+        beta = (rz_new - dot(r_new, z)) / rz
+        p = z_new + beta * p
+        return (x, r_new, z_new, p, rz_new, k + 1)
+
+    x, _r, _z, _p, rz, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, p0, rz0, jnp.int32(0))
+    )
+    rel = jnp.sqrt(
+        jnp.abs(rz)
+        / jnp.maximum(jnp.abs(rz0),
+                      jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype))
     )
     return x, k, rel
 

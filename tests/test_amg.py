@@ -327,3 +327,32 @@ def test_per_level_cheb_degree():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x2), atol=2e-7)
     # coarse smoothing can only help (never hurt) the iteration count
     assert int(k) <= int(k2) + 1
+
+
+def test_wcycle_matches_and_does_not_regress():
+    """cycle="W" (second visit per coarse level): same solution, iteration
+    count no worse than the V-cycle (it addresses deep-level coarse-grid
+    correction decay at 10M-class sizes; tools/conv_tune.py)."""
+    A, rhs, x0 = _poisson_system(16)
+    Mv = build_amg(A, use_pallas=False, smoother="chebyshev")
+    Mw = build_amg(A, use_pallas=False, smoother="chebyshev", cycle="W")
+    xv, kv, _ = pcg(A, rhs, Mv, x0, 1e-10, 0.0, 3000)
+    xw, kw, _ = pcg(A, rhs, Mw, x0, 1e-10, 0.0, 3000)
+    assert int(kw) <= int(kv)
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xv), atol=2e-7)
+
+
+def test_pcg_pair_and_flex_match_pcg():
+    """pcg_pair (double-f32 iterates) and pcg_flex (Polak-Ribière beta)
+    are exact-arithmetic-equivalent reformulations: same solution and
+    comparable iteration counts on a fixed SPD preconditioner."""
+    from arcanefem_tpu.solver.iterative import pcg_flex, pcg_pair
+
+    A, rhs, x0 = _poisson_system()
+    M = build_amg(A, use_pallas=False, smoother="chebyshev")
+    x, k, _ = pcg(A, rhs, M, x0, 1e-10, 0.0, 3000, use_precise_dot=True)
+    xp, kp, _ = pcg_pair(A, rhs, M, x0, 1e-10, 0.0, 3000)
+    xf, kf, _ = pcg_flex(A, rhs, M, x0, 1e-10, 0.0, 3000)
+    assert abs(int(kp) - int(k)) <= 2 and abs(int(kf) - int(k)) <= 2
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(x), atol=2e-7)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(x), atol=2e-7)

@@ -45,8 +45,17 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def build_system(h: float, refine: int, dtype, penalty: float):
-    """The bench's exact finalized system (A, b, x0) + raw topology."""
+def build_system(h: float, refine: int, dtype, penalty: float,
+                 bc: str = "penalty", diag_scale: bool = False):
+    """The bench's exact finalized system (A, b, x0) + raw topology.
+
+    bc="elim": symmetric row+column elimination instead of penalty rows
+    (DoFLinearSystem's RowColumnElimination semantics) — keeps the matrix
+    SPD with O(1) entry scales, which matters in f32: the 8.9M system
+    needs 55 PCG iterations with penalty rows in f32 but 6 in f64 — the
+    growth is a precision artifact of the mixed 1e12/interior scales.
+    diag_scale: symmetric Jacobi scaling D^-1/2 A D^-1/2 (solve for
+    y = D^1/2 x), normalizing representation scales for f32."""
     import bench
     from arcanefem_tpu.ops.lane_assembly import TetraLaneAssembler
     from arcanefem_tpu.sparse.bell import BellMatrix
@@ -83,14 +92,56 @@ def build_system(h: float, refine: int, dtype, penalty: float):
               np.repeat(vols / 4.0, 4))
     rhs_np = np.where(mask, penalty * gv, rhs_np)
 
-    flat = vals.reshape(-1).copy()
-    flat[np.asarray(topo.diag_slot)[mask]] = penalty
+    # f64 lab runs must store the penalty exactly: assembling in f32 then
+    # setting a penalty the f32 grid can't represent while b carries the
+    # exact f64 value leaves r0 = (f32(P) - P)·g ~ 1e22 on bc rows, which
+    # inflates rz0 by ~5e10 and makes the relative criterion trivially
+    # loose (the "6-iteration f64" artifact, /tmp/conv_tune.jsonl).
+    flat = vals.reshape(-1).astype(np.float64)
+    if bc == "elim":
+        # symmetric row+column elimination (RowColumnElimination):
+        # rhs_int -= A[:, bc]·g, zero bc rows+cols, unit bc diagonal,
+        # rhs_bc = g.  SPD, O(1) scales — no penalty representation tax.
+        ell = flat.reshape(n, W)
+        cols = np.asarray(topo.ell_cols)
+        valid = np.asarray(topo.ell_valid)
+        g = np.where(mask, gv, 0.0)
+        Ag = (ell * g[cols] * valid).sum(axis=1)
+        rhs_np = np.zeros(n, np.float64)
+        np.add.at(rhs_np, np.asarray(mesh.cells["tetra4"]).reshape(-1),
+                  np.repeat(vols / 4.0, 4))
+        rhs_np = np.where(mask, gv, rhs_np - Ag)
+        dead = mask[:, None] | (mask[cols] & valid)
+        ell = np.where(dead, 0.0, ell)
+        flat = ell.reshape(-1)
+        flat[np.asarray(topo.diag_slot)[mask]] = 1.0
+    else:
+        flat[np.asarray(topo.diag_slot)[mask]] = penalty
+
+    scale = None
+    if diag_scale:
+        dvals = flat[np.asarray(topo.diag_slot)]
+        s = 1.0 / np.sqrt(np.where(dvals > 0, dvals, 1.0))
+        ell = flat.reshape(n, W)
+        flat = (ell * s[:, None] * s[np.asarray(topo.ell_cols)]
+                * np.asarray(topo.ell_valid)).reshape(-1)
+        flat[np.asarray(topo.diag_slot)] = 1.0
+        rhs_np = rhs_np * s
+        scale = s
+
     A = BellMatrix(
         values=jnp.asarray(flat.reshape(n, W, 1, 1).astype(dtype)),
         topo=topo, block=1, cols=jnp.asarray(topo.ell_cols),
     )
     b = jnp.asarray(rhs_np.astype(dtype))
-    x0 = jnp.asarray(np.where(mask, gv, 0.0).astype(dtype))
+    x0_np = np.where(mask, gv, 0.0)
+    if scale is not None:
+        x0_np = x0_np / scale  # y = D^1/2 x
+    x0 = jnp.asarray(x0_np.astype(dtype))
+    if bc != "penalty":
+        key += f"_{bc}"
+    if diag_scale:
+        key += "_dscale"
     return A, b, x0, key
 
 
@@ -114,7 +165,8 @@ def quantize_vcycle(M):
     )
 
 
-def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False, **amg_kw):
+def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False,
+               pair=False, **amg_kw):
     import pickle
     from dataclasses import replace
 
@@ -149,7 +201,18 @@ def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False, **amg_kw):
         M = quantize_vcycle(M)
 
     t0 = time.time()
-    x, iters, res = pcg(A, b, M, x0, rtol, 0.0, max_iter)
+    if pair == "flex":
+        from arcanefem_tpu.solver.iterative import pcg_flex
+
+        x, iters, res = pcg_flex(A, b, M, x0, rtol, 0.0, max_iter)
+    elif pair:
+        from arcanefem_tpu.solver.iterative import pcg_pair
+
+        x, iters, res = pcg_pair(A, b, M, x0, rtol, 0.0, max_iter)
+    else:
+        # compensated dots, exactly as the bench's solve (bench.py pcg)
+        x, iters, res = pcg(A, b, M, x0, rtol, 0.0, max_iter,
+                            use_precise_dot=True)
     iters = int(iters)
     solve_s = time.time() - t0
     true_res = float(jnp.linalg.norm(b - A.spmv(x)) / jnp.linalg.norm(b))
@@ -169,7 +232,9 @@ def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False, **amg_kw):
             return deg[min(l, len(deg) - 1)]
         return deg
 
-    cycle = sum(2.0 * deg_l(l) * w for l, w in enumerate(wts))
+    wcyc = amg_kw.get("cycle", "V") == "W"
+    cycle = sum(2.0 * deg_l(l) * w * ((2 ** l) if (wcyc and l) else 1)
+                for l, w in enumerate(wts))
     cost = iters * (1.0 + cycle)  # Krylov fine SpMV + cycle work
 
     row = {
@@ -180,7 +245,7 @@ def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False, **amg_kw):
         "levels": [m.topo.n_nodes for m in M.mats],
         "op_complexity": round(opc, 3),
         "setup_s": round(setup_s, 1), "setup_cached": cached,
-        "solve_s": round(solve_s, 1), "bf16": bf16, **amg_kw,
+        "solve_s": round(solve_s, 1), "bf16": bf16, "pair": pair, **amg_kw,
     }
     print(json.dumps(row), flush=True)
     with open("/tmp/conv_tune.jsonl", "a") as f:
@@ -212,6 +277,20 @@ CONFIGS = {
     "t03deg26": dict(smoother="chebyshev", cheb_deg=(2, 6), theta=0.03),
     "t03deg34": dict(smoother="chebyshev", cheb_deg=(3, 4), theta=0.03),
     "t05deg24": dict(smoother="chebyshev", cheb_deg=(2, 4), theta=0.05),
+    # pair-precision PCG (x, r as double-f32): kills the f32 noise grind
+    "t03pair": dict(smoother="chebyshev", cheb_deg=2, theta=0.03,
+                    pair=True),
+    "pairdflt": dict(smoother="chebyshev", cheb_deg=2, pair=True),
+    # flexible PCG (Polak-Ribière beta): robust to the f32 V-cycle's
+    # input-dependent rounding (a slightly varying preconditioner)
+    "t03flex": dict(smoother="chebyshev", cheb_deg=2, theta=0.03,
+                    pair="flex"),
+    # W-cycle: second visit per coarse level (cheap; coarse-grid
+    # correction quality compounds) — the 10M iteration-growth fix probe
+    "t03w": dict(smoother="chebyshev", cheb_deg=2, theta=0.03, cycle="W"),
+    "t03wdeg24": dict(smoother="chebyshev", cheb_deg=(2, 4), theta=0.03,
+                      cycle="W"),
+    "defaultw": dict(smoother="chebyshev", cheb_deg=2, cycle="W"),
     # prolongator truncation: wider P = better rate, costlier cycle
     "trunc12": dict(smoother="chebyshev", cheb_deg=2, trunc_kmax=12),
     "trunc6": dict(smoother="chebyshev", cheb_deg=2, trunc_kmax=6,
@@ -230,19 +309,23 @@ def main():
                     help="TPU bench uses 1e12 (f32)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--configs", default="default,cheb3,jacobi,bf16")
+    ap.add_argument("--bc", default="penalty", choices=["penalty", "elim"])
+    ap.add_argument("--diag-scale", action="store_true")
     args = ap.parse_args()
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
         jax.config.update("jax_enable_x64", True)
-    A, b, x0, key = build_system(args.h, args.refine, dtype, args.penalty)
+    A, b, x0, key = build_system(args.h, args.refine, dtype, args.penalty,
+                                 bc=args.bc, diag_scale=args.diag_scale)
 
     rows = []
     for name in args.configs.split(","):
         kw = dict(CONFIGS[name])
         bf16 = kw.pop("bf16", False)
+        pair = kw.pop("pair", False)
         rows.append(run_config(A, b, x0, key, name, args.rtol,
-                               args.max_iter, bf16=bf16, **kw))
+                               args.max_iter, bf16=bf16, pair=pair, **kw))
 
     rows.sort(key=lambda r: r["rel_cost"])
     print(f"{'config':<10} {'iters':>5} {'rel_cost':>8} {'opc':>6} "
