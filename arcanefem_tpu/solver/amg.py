@@ -528,18 +528,53 @@ def build_amg(
         )
         Ah.sum_duplicates()
 
-    def rho_est(M, iters=10, seed=0):
+    def rho_est(A_csr, d, iters=40, seed=0):
+        """λmax(D⁻¹A) estimate: Lanczos on the similar SYMMETRIC operator
+        S = D^-1/2 A D^-1/2 (tight from below, +8% safety), capped by S's
+        Gershgorin row-sum bound (safe from above).
+
+        The old 10-step power iteration on D⁻¹A UNDERESTIMATED λmax by up
+        to 30% on the 8.9M sphere_cut (stored 1.92 vs converged ≥2.52):
+        sliver elements carry localized stiff modes that power iteration
+        finds slowly.  An underestimated interval makes every
+        Chebyshev/Jacobi sweep AMPLIFY the top of the spectrum — the
+        measured symptom was iteration growth with size (21→55 iters at
+        1.9M→8.9M) that got WORSE with stronger smoothing (cheb3: 66).
+        Lanczos λmax converges like the square of power iteration
+        (Kaniel-Paige); no reorthogonalization needed for the extreme
+        eigenvalue."""
+        n = A_csr.shape[0]
+        s = 1.0 / np.sqrt(np.where(d > 0, d, 1.0))
+
+        def Sv(v):
+            return s * (A_csr @ (s * v))
+
+        # Gershgorin on S: max_i Σ_j |s_i a_ij s_j|
+        gersh = float((s * (abs(A_csr) @ s)).max())
+        if not np.isfinite(gersh) or gersh == 0.0:
+            return 1.0
         rng = np.random.RandomState(seed)
-        v = rng.rand(M.shape[0])
+        v = rng.rand(n) - 0.5
         v /= np.linalg.norm(v)
-        lam = 1.0
+        v_prev = np.zeros(n)
+        alphas, betas = [], []
+        beta = 0.0
         for _ in range(iters):
-            w = M @ v
-            lam = float(np.linalg.norm(w))
-            if lam == 0:
-                return 1.0
-            v = w / lam
-        return lam
+            w = Sv(v) - beta * v_prev
+            alpha = float(v @ w)
+            w -= alpha * v
+            beta = float(np.linalg.norm(w))
+            alphas.append(alpha)
+            betas.append(beta)
+            if beta < 1e-12 * max(abs(alpha), 1.0):
+                break
+            v_prev, v = v, w / beta
+        T = np.diag(alphas)
+        off = betas[:-1]
+        if off:
+            T += np.diag(off, 1) + np.diag(off, -1)
+        lam = float(np.linalg.eigvalsh(T).max()) if len(alphas) else gersh
+        return float(min(1.08 * lam, gersh))
 
     def truncate_rows(P, kmax=8, rel=0.05, rescale=True):
         """Cap P's row width: keep the kmax largest-|.| entries per row
@@ -668,11 +703,10 @@ def build_amg(
         ddf = np.asarray(Af.diagonal())
         Dinvf = sp.diags(1.0 / np.where(ddf == 0, 1.0, ddf))
         DAf = (Dinvf @ Af).tocsr()
-        rho_f = rho_est(DAf)
+        rho_f = rho_est(Af.tocsr(), ddf)
         # smoother damping uses the TRUE operator's spectral radius
         dd = np.asarray(cur.diagonal())
-        Dinv = sp.diags(1.0 / np.where(dd == 0, 1.0, dd))
-        rhos.append(rho_est((Dinv @ cur).tocsr()))
+        rhos.append(rho_est(cur.tocsr(), dd))
         P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho_f) * DAf) @ T
         P = truncate_rows(P.tocsr(), kmax=trunc_kmax, rel=trunc_rel,
                           rescale=not used_rbm)

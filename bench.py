@@ -493,7 +493,7 @@ def bench_unstructured() -> dict:
     amg_path = os.path.join(
         "/tmp/afem_meshes",
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
-        f"_t{amg_theta:g}_{platform}_p{penalty:g}_v1.pkl",
+        f"_t{amg_theta:g}_{platform}_p{penalty:g}_v2.pkl",
     )
     M, amg_cached = _pickle_cache(
         amg_path,

@@ -182,7 +182,8 @@ def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False,
     meta = {k: v for k, v in amg_kw.items() if k not in structural}
     cfg_key = "_".join(f"{k}-{v}" for k, v in sorted(structural.items()))
     dt = np.dtype(np.asarray(A.values).dtype).name  # hierarchy dtype
-    path = f"/tmp/afem_meshes/tune_{key}_{dt}_{cfg_key}.pkl"
+    # v2: rho_est Lanczos+Gershgorin fix changes every hierarchy
+    path = f"/tmp/afem_meshes/tune2_{key}_{dt}_{cfg_key}.pkl"
     t0 = time.time()
     if os.path.exists(path):
         with open(path, "rb") as f:
