@@ -247,6 +247,19 @@ def gather_sum_rows(plan: WindowPlan, table: "jnp.ndarray",
     return prods.reshape(nb * R, W).sum(axis=1)[:n]
 
 
+# Full unroll is fastest (no loop overhead, Mosaic pipelines the sweep)
+# but its stack grows ~G·LANE·4B per unrolled step AND the emitted MLIR
+# grows linearly in steps: at V//LANE≈700+, the kernel frame blew the 48MB
+# scoped-vmem limit and multi-kernel programs (supernode PCG: 16 window
+# kernels per SpMV) exceeded the remote-compile request-body limit
+# (HTTP 413) — both observed on v5e at the 1.9M-node sphere_cut.  Past
+# _FULL_UNROLL_ROWS the sweep therefore runs as a fori_loop over aligned
+# _CHUNK_ROWS-row chunks: bounded stack, O(chunk) MLIR, same vector-op
+# count per step (one extra dynamic VMEM slice per chunk).
+_FULL_UNROLL_ROWS = 256
+_CHUNK_ROWS = 32  # multiple of 8 (sublane-aligned dynamic slices)
+
+
 def _make_kernel(G: int, slot_rows: tuple):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -255,7 +268,7 @@ def _make_kernel(G: int, slot_rows: tuple):
     offs = [0]
     for r in slot_rows:
         offs.append(offs[-1] + r)
-    V = offs[-1] * LANE
+    VL = offs[-1]  # window rows (LANE lanes each)
 
     def body(lo_ref, vals_ref, lcols_ref, x_hbm, out_ref, win_ref, *sems):
         cps = []
@@ -273,12 +286,28 @@ def _make_kernel(G: int, slot_rows: tuple):
         idx = lcols_ref[0]  # (G, 128) virtual window indices
         hi = idx >> 7  # sublane (window row), loop-invariant
         lj = idx & (LANE - 1)  # lane within the row
-        win = win_ref[:]  # (V // LANE, LANE)
         acc = jnp.zeros((G, LANE), jnp.float32)
-        for k in range(V // LANE):
-            chunk = jnp.broadcast_to(win[k], (G, LANE))
-            got = jnp.take_along_axis(chunk, lj, axis=1)
-            acc = acc + jnp.where(hi == k, got, 0.0)
+        if VL <= _FULL_UNROLL_ROWS:
+            win = win_ref[pl.ds(0, VL), :]
+            for k in range(VL):
+                chunk = jnp.broadcast_to(win[k], (G, LANE))
+                got = jnp.take_along_axis(chunk, lj, axis=1)
+                acc = acc + jnp.where(hi == k, got, 0.0)
+        else:
+            U = _CHUNK_ROWS
+
+            def step(i, acc):
+                base = i * U
+                rows = win_ref[pl.ds(base, U), :]
+                for j in range(U):
+                    chunk = jnp.broadcast_to(rows[j], (G, LANE))
+                    got = jnp.take_along_axis(chunk, lj, axis=1)
+                    acc = acc + jnp.where(hi == base + j, got, 0.0)
+                return acc
+
+            # trailing rows past VL read scratch garbage, but no entry's
+            # hi reaches them (hi < VL), so the mask zeroes them out
+            acc = jax.lax.fori_loop(0, -(-VL // U), step, acc)
         # weights may ride as bf16 (preconditioner-only precision — halves
         # the nnz-sized weight stream, the kernel's dominant HBM traffic);
         # the product/accumulation stays f32
@@ -317,7 +346,12 @@ def _products(vals_tiled, lcols, lo, x, key):
         ],
         out_specs=pl.BlockSpec((1, G, LANE), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((V // LANE, LANE), jnp.float32)]
+        # chunked sweeps slice the scratch in _CHUNK_ROWS strides — round
+        # its height up so the final chunk's slice stays in bounds
+        scratch_shapes=[pltpu.VMEM(
+            (V // LANE if V // LANE <= _FULL_UNROLL_ROWS
+             else -(-(V // LANE) // _CHUNK_ROWS) * _CHUNK_ROWS, LANE),
+            jnp.float32)]
         + [pltpu.SemaphoreType.DMA] * S,
         # the unrolled window sweep allocates fresh Mosaic stack per step
         # (~G·128·4B each): the fine-mesh kernel's frame is ~13MB, barely
