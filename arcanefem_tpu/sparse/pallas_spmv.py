@@ -260,7 +260,7 @@ _FULL_UNROLL_ROWS = 256
 _CHUNK_ROWS = 32  # multiple of 8 (sublane-aligned dynamic slices)
 
 
-def _make_kernel(G: int, slot_rows: tuple):
+def _make_kernel(G: int, slot_rows: tuple, batched: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -273,8 +273,17 @@ def _make_kernel(G: int, slot_rows: tuple):
     def body(lo_ref, vals_ref, lcols_ref, x_hbm, out_ref, win_ref, *sems):
         cps = []
         for s in range(S):
+            if batched:
+                # channel r of the (B, rows, LANE) table stack — the grid's
+                # inner dim, so the plan-array blocks (lo/vals/lcols) stay
+                # resident across all B channels of a row block
+                src = x_hbm.at[
+                    pl.program_id(1), pl.ds(lo_ref[0, 0, s], slot_rows[s]), :
+                ]
+            else:
+                src = x_hbm.at[pl.ds(lo_ref[0, 0, s], slot_rows[s]), :]
             cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(lo_ref[0, 0, s], slot_rows[s]), :],
+                src,
                 win_ref.at[pl.ds(offs[s], slot_rows[s]), :],
                 sems[s],
             )
@@ -311,7 +320,10 @@ def _make_kernel(G: int, slot_rows: tuple):
         # weights may ride as bf16 (preconditioner-only precision — halves
         # the nnz-sized weight stream, the kernel's dominant HBM traffic);
         # the product/accumulation stays f32
-        out_ref[0] = vals_ref[0].astype(jnp.float32) * acc
+        if batched:
+            out_ref[0, 0] = vals_ref[0].astype(jnp.float32) * acc
+        else:
+            out_ref[0] = vals_ref[0].astype(jnp.float32) * acc
 
     return body
 
@@ -360,6 +372,48 @@ def _products(vals_tiled, lcols, lo, x, key):
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(lo, vals_tiled, lcols, x)
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _products_b(vals_tiled, lcols, lo, xs, key):
+    """Batched `_products`: xs is a (B, rows, LANE) stack of tables sharing
+    ONE plan.  A single pallas_call with grid (nb, B) — the kernel body is
+    emitted ONCE instead of B times, which keeps multi-kernel programs
+    (supernode SpMV: 8 column gathers + 8 row reductions) under the
+    remote-compile request-body limit (HTTP 413 observed at 1.9M nodes),
+    and the plan-array blocks stay resident across the inner B steps."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, slot_rows, nb = key
+    S = len(slot_rows)
+    V = sum(slot_rows) * LANE
+    B = xs.shape[0]
+    lo = lo.reshape(nb, 1, S)
+    return pl.pallas_call(
+        _make_kernel(G, slot_rows, batched=True),
+        out_shape=jax.ShapeDtypeStruct((nb, B, G, LANE), jnp.float32),
+        grid=(nb, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, LANE), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, LANE), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, LANE), lambda b, r: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(
+            (V // LANE if V // LANE <= _FULL_UNROLL_ROWS
+             else -(-(V // LANE) // _CHUNK_ROWS) * _CHUNK_ROWS, LANE),
+            jnp.float32)]
+        + [pltpu.SemaphoreType.DMA] * S,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+    )(lo, vals_tiled, lcols, xs)
 
 
 def _adaptive_block_rows(W: int, target_g: int = 128,
@@ -484,6 +538,23 @@ class PlannedGather:
         out = prods.reshape(nb * R, self.width).sum(axis=1)[: self.n_rows]
         return out.astype(table.dtype)
 
+    def call_batched(self, tables: "jnp.ndarray") -> "jnp.ndarray":
+        """Apply to a (B, n_table) stack of tables sharing this plan in ONE
+        kernel (grid (nb, B)); returns (B, n_rows).  Exactly B scalar
+        __call__s worth of math with a single emitted kernel body."""
+        G, slot_rows, nb = self.key
+        R = G * LANE // self.width
+        B = tables.shape[0]
+        tp = tables.astype(jnp.float32)
+        need = self.need_rows * LANE
+        n_t = -(-max(tp.shape[1], need) // LANE) * LANE
+        tp = jnp.pad(tp, ((0, 0), (0, n_t - tp.shape[1])))
+        tp = tp.reshape(B, n_t // LANE, LANE)
+        prods = _products_b(self.vals_tiled, self.lcols, self.lo, tp,
+                            self.key)  # (nb, B, G, LANE)
+        out = prods.transpose(1, 0, 2, 3).reshape(B, nb * R, self.width)
+        return out.sum(axis=2)[:, : self.n_rows].astype(tables.dtype)
+
     def with_weights_dtype(self, dtype) -> "PlannedGather":
         """Same plan, weights cast (bf16 halves the weight stream; kernel
         accumulation stays f32 — preconditioner-rate-only precision)."""
@@ -526,6 +597,10 @@ class ChainedGather:
 
     def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
         return self.stage2(self.stage1(table))
+
+    def call_batched(self, tables: "jnp.ndarray") -> "jnp.ndarray":
+        """(B, n_table) stack -> (B, n_rows), both stages batched."""
+        return self.stage2.call_batched(self.stage1.call_batched(tables))
 
     def with_weights_dtype(self, dtype) -> "ChainedGather":
         # stage2's weights are structural 1.0s — casting them too keeps its

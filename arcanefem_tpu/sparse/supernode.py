@@ -154,19 +154,30 @@ class SupernodeSpmv:
 
     # -- application --------------------------------------------------------
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         bs = self.blocks.shape[1]
         xb = jnp.pad(x.astype(jnp.float32),
                      (0, self.n_sup * bs - self.n)).reshape(self.n_sup, bs)
-        xg = jnp.stack(
-            [self.pg_cols(xb[:, r]) for r in range(bs)]
-        )  # (bs, nnzb)
+        if os.environ.get("AFEM_SN_BATCH") == "0":
+            # per-channel kernels: 16 pallas_calls each embedding its own
+            # copy of the Mosaic MLIR — blew the remote-compile body limit
+            # (HTTP 413) inside the PCG program at 1.9M nodes; kept for A/B
+            xg = jnp.stack(
+                [self.pg_cols(xb[:, r]) for r in range(bs)]
+            )  # (bs, nnzb)
+        else:
+            xg = self.pg_cols.call_batched(xb.T)  # (bs, nnzb), ONE kernel
         yp = jnp.einsum(
             "eij,je->ei", self.blocks, xg.astype(self.blocks.dtype),
             preferred_element_type=jnp.float32,
         )  # (nnzb, bs), f32 accumulation even for bf16 blocks
-        yb = jnp.stack(
-            [self.pg_rows(yp[:, i]) for i in range(bs)], axis=1
-        )  # (n_sup, bs)
+        if os.environ.get("AFEM_SN_BATCH") == "0":
+            yb = jnp.stack(
+                [self.pg_rows(yp[:, i]) for i in range(bs)], axis=1
+            )  # (n_sup, bs)
+        else:
+            yb = self.pg_rows.call_batched(yp.T).T  # (n_sup, bs)
         return yb.reshape(-1)[: self.n].astype(x.dtype)
 
     def spmv(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -490,6 +490,9 @@ def bench_unstructured() -> dict:
     # AND operator complexity 1.456->1.221 at 2.1M (tools/conv_tune.py,
     # platform-independent iteration counts; /tmp/conv_tune.jsonl)
     amg_theta = float(os.environ.get("BENCH_AMG_THETA", "0.03"))
+    # V (default) or W: second coarse visit per level — targets the
+    # measured iteration growth at 8.9M DoF (21 iters at 1.9M -> 55)
+    amg_cycle = os.environ.get("BENCH_AMG_CYCLE", "V")
     amg_path = os.path.join(
         "/tmp/afem_meshes",
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
@@ -501,6 +504,10 @@ def bench_unstructured() -> dict:
                           theta=amg_theta),
         "AMG hierarchy",
     )
+    if amg_cycle != "V":
+        from dataclasses import replace as _cyc_replace
+        M = _cyc_replace(M, cycle=amg_cycle)
+        log(f"[unstr] AMG cycle: {amg_cycle}")
     setup_s = time.time() - t0
     log(f"[unstr] AMG setup (host{', cached' if amg_cached else ''}) "
         f"{setup_s:.1f}s, levels={[m.topo.n_nodes for m in M.mats]}")
@@ -551,7 +558,9 @@ def bench_unstructured() -> dict:
                 xp = jnp.asarray(
                     np.random.RandomState(0).rand(n).astype(np.float32)
                 )
-                got = np.asarray(jax.jit(sn.__call__)(xp))
+                # sn as a pytree ARGUMENT (a jit(sn.__call__) closure would
+                # embed the plan arrays as HLO literals -> HTTP 413)
+                got = np.asarray(jax.jit(lambda m, v: m(v))(sn, xp))
                 want = np.asarray(A.spmv(xp))
                 diff = np.abs(got - want)
                 # interior rows: relative to the interior row scale
@@ -646,25 +655,33 @@ def bench_unstructured() -> dict:
     # done-criterion: fallback beaten by >=5x on a >=1M-node 3D mesh)
     spmv_ratio = None
     if on_tpu:
-        import jax as _jax
+        try:
+            import jax as _jax
 
-        fp = _jax.jit(Ap.spmv)
-        fx = _jax.jit(A.spmv)
+            # the operator must ride as a pytree ARGUMENT: a closure
+            # capture embeds the multi-MB plan arrays as HLO literals and
+            # overflows the remote-compile body (HTTP 413 at 1.9M nodes)
+            f_op = _jax.jit(lambda m, v: m.spmv(v))
 
-        def t_spmv(f, reps):
-            y = f(b)
-            _ = float(jnp.sum(y))
-            t0 = time.time()
-            for _ in range(reps):
-                y = f(b)
-            _ = float(jnp.sum(y))
-            return (time.time() - t0) / reps
+            def t_spmv(m, reps):
+                y = f_op(m, b)
+                _ = float(jnp.sum(y))
+                t0 = time.time()
+                for _ in range(reps):
+                    y = f_op(m, b)
+                _ = float(jnp.sum(y))
+                return (time.time() - t0) / reps
 
-        tp = min(t_spmv(fp, 5) for _ in range(2))
-        tx = min(t_spmv(fx, 2) for _ in range(2))
-        spmv_ratio = tx / tp
-        log(f"[unstr] SpMV pallas {tp*1e3:.2f} ms vs XLA gather "
-            f"{tx*1e3:.2f} ms -> {spmv_ratio:.1f}x")
+            tp = min(t_spmv(Ap, 5) for _ in range(2))
+            tx = min(t_spmv(A, 2) for _ in range(2))
+            spmv_ratio = tx / tp
+            log(f"[unstr] SpMV pallas {tp*1e3:.2f} ms vs XLA gather "
+                f"{tx*1e3:.2f} ms -> {spmv_ratio:.1f}x")
+        except Exception as e:
+            # a diagnostic must never cost the measured primary metric
+            # (round-3 bench_default lost its solved 9.6s number to a 413
+            # raised HERE, after the solve had succeeded)
+            log(f"[unstr] SpMV ratio probe failed ({e!r}); continuing")
 
     out = {
         "metric": (
@@ -680,6 +697,7 @@ def bench_unstructured() -> dict:
         # which fine-operator path actually ran (supernode may fall back)
         "spmv_path": type(Ap).__name__,
         "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
+        "amg_cycle": amg_cycle,
         "vcycle_bf16": vcycle_bf16,
         "platform": platform,
     }

@@ -111,19 +111,22 @@ def main():
         Ap = as_pallas_matrix(A)
         r0 = b / (1.0 + jnp.abs(b))
 
-        va = _jax.jit(M.apply)
+        # operators ride as pytree ARGUMENTS: jit(closure) would embed the
+        # plan arrays as HLO literals and overflow remote-compile (413)
+        f_apply = _jax.jit(lambda m, v: m.apply(v))
+        f_spmv = _jax.jit(lambda m, v: m.spmv(v))
         fine = M.mats[0]
         targets = [
-            ("vcycle", va, r0),
-            ("fine_planned_spmv", _jax.jit(fine.spmv), r0),
-            ("pcg_op_spmv", _jax.jit(Ap.spmv), r0),
+            ("vcycle", f_apply, M, r0),
+            ("fine_planned_spmv", f_spmv, fine, r0),
+            ("pcg_op_spmv", f_spmv, Ap, r0),
         ]
-        for name, f, arg in targets:
-            y = f(arg)
+        for name, f, m, arg in targets:
+            y = f(m, arg)
             _ = float(jnp.sum(y))
             t0 = time.time()
             for _i in range(20):
-                y = f(arg)
+                y = f(m, arg)
             _ = float(jnp.sum(y))
             print(f"[{name}] {(time.time()-t0)/20*1e3:.2f} ms", flush=True)
         return

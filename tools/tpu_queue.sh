@@ -73,4 +73,10 @@ run stability 3600 python bench.py --stability 3
 #    unless /tmp/afem_meshes is still warm)
 run bench_10m 7200 BENCH_UNSTR_H=6 BENCH_UNSTR_REFINE=3 BENCH_BOX=0 python bench.py
 
+# 4b. 10M iteration-growth levers (conv_tune CPU data: default 64 iters,
+#     theta03 55; W-cycle and per-level cheb degrees target the
+#     coarse-grid-correction decay — per-iteration cost is the TPU side)
+run bench_10m_w 7200 BENCH_UNSTR_H=6 BENCH_UNSTR_REFINE=3 BENCH_BOX=0 BENCH_AMG_CYCLE=W python bench.py
+run bench_10m_cheb24 7200 BENCH_UNSTR_H=6 BENCH_UNSTR_REFINE=3 BENCH_BOX=0 BENCH_AMG_CHEB_DEG=2,4 python bench.py
+
 echo "== done: results in $OUT =="
