@@ -464,18 +464,36 @@ class PlannedGather:
     @staticmethod
     def build(cols: np.ndarray, weights: np.ndarray,
               block_rows: int | None = None,
-              max_window: int = 128 * 1024, wcap: int = 16):
+              max_window: int = 128 * 1024, wcap: int = 16,
+              compact: bool = False):
         """cols/weights (n, W); zero-weight entries are padding, and their
-        column is replaced by a window-friendly nearby real column."""
+        column is replaced by a window-friendly nearby real column.
+
+        compact=True prepends a per-block distinct-column pre-gather
+        (ChainedGather) so the main sweep's windows cover only the block's
+        DISTINCT columns instead of their span — a ~6x lane-op cut on
+        3D-bandwidth meshes (see CompactBellSpmv); falls back to the
+        direct plan when the pre-gather cannot be planned."""
         n, W = cols.shape
         w_np = np.asarray(weights, np.float32)
         real = w_np != 0.0
         deg = real.sum(axis=1).astype(np.int64)
         if wcap and int(deg.max(initial=0)) > wcap:
             return _build_split(cols, w_np, real, deg, block_rows,
-                                max_window, wcap)
+                                max_window, wcap, compact=compact)
         if block_rows is None:
             block_rows = _adaptive_block_rows(W)
+        if compact:
+            pre, cols2 = _compact_columns(
+                np.asarray(cols, np.int64), real, block_rows,
+                max_window=max_window,
+            )
+            if pre is not None:
+                main = PlannedGather.build(
+                    cols2, w_np, block_rows, max_window, wcap=0,
+                )
+                if main is not None:
+                    return ChainedGather(pre, main, n)
         cols = np.asarray(cols, np.int64).copy()
         # pad columns -> the row's first real column; empty rows forward-
         # fill from the nearest non-empty row so they never widen a window
@@ -513,7 +531,8 @@ class PlannedGather:
     def build_csr(indices: np.ndarray, indptr: np.ndarray,
                   block_rows: int | None = None,
                   max_window: int = 128 * 1024, wcap: int = 8,
-                  weights: np.ndarray | None = None):
+                  weights: np.ndarray | None = None,
+                  compact: bool = False):
         """y[r] = Σ_{k∈[indptr[r],indptr[r+1])} weights[k]·table[indices[k]]
         from CSR-style entry lists (no dense (n, K) intermediate).  Rows
         wider than wcap split into subrows (ChainedGather).  Returns None
@@ -525,7 +544,7 @@ class PlannedGather:
         cvals = (np.ones(len(ccols), np.float32) if weights is None
                  else np.asarray(weights, np.float32))
         return _build_split_compact(ccols, cvals, deg, n, block_rows,
-                                    max_window, wcap)
+                                    max_window, wcap, compact=compact)
 
     def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
         G, slot_rows, nb = self.key
@@ -619,7 +638,50 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _build_split(cols, w_np, real, deg, block_rows, max_window, wcap):
+def _compact_columns(cols, real, block_rows, stage1_rows=1024,
+                     max_window=128 * 1024):
+    """Per-block distinct-column pre-gather.
+
+    Returns (pre, remap): `pre` is a W=1 PlannedGather computing
+    xc = x[uniq] (uniq = concatenated per-block sorted distinct real
+    columns), and `remap` (n, W) holds each entry's index into xc —
+    block b's entries land in xc[off_b : off_b + n_uniq_b], so the main
+    plan's windows are exactly the per-block uniq runs.  Entries with
+    real=False map to their block's first compact slot (their weight is
+    zero).  (None, None) when the pre-gather cannot be planned."""
+    n, W = cols.shape
+    R = block_rows
+    nb = -(-n // R)
+    cp = np.full((nb * R, W), -1, np.int64)
+    cp[:n] = np.where(real, cols, -1)
+    uniqs, off = [], 0
+    remap = np.empty((nb * R, W), np.int64)
+    for b in range(nb):
+        blk = cp[b * R : (b + 1) * R]
+        m = blk >= 0
+        if not m.any():
+            uniqs.append(np.zeros(1, np.int64))
+            remap[b * R : (b + 1) * R] = off
+            off += 1
+            continue
+        u, inv = np.unique(blk[m], return_inverse=True)
+        rm = np.full(blk.shape, off, np.int64)
+        rm[m] = off + inv
+        remap[b * R : (b + 1) * R] = rm
+        uniqs.append(u)
+        off += len(u)
+    uniq = np.concatenate(uniqs)
+    pre = PlannedGather.build(
+        uniq[:, None], np.ones((len(uniq), 1), np.float32),
+        block_rows=stage1_rows, max_window=max_window, wcap=0,
+    )
+    if pre is None:
+        return None, None
+    return pre, remap[:n]
+
+
+def _build_split(cols, w_np, real, deg, block_rows, max_window, wcap,
+                 compact=False):
     """Split rows with >wcap real entries into subrows; see PlannedGather."""
     n, _ = cols.shape
     cols = np.asarray(cols, np.int64)
@@ -627,10 +689,11 @@ def _build_split(cols, w_np, real, deg, block_rows, max_window, wcap):
     ccols = cols[real]
     cvals = w_np[real]
     return _build_split_compact(ccols, cvals, deg, n, block_rows,
-                                max_window, wcap)
+                                max_window, wcap, compact=compact)
 
 
-def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap):
+def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
+                         compact=False):
     """_build_split on already-compacted CSR-style entries: row r owns
     ccols/cvals[deg[:r].sum() : deg[:r+1].sum()].  Avoids materializing the
     dense (n, K) cols/weights — at assembly scale (n_slots=38M, K≈30 on
@@ -650,8 +713,18 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap):
     # zero-weight REAL entries would be dropped by the stage-1 pad logic;
     # nudge them to a tiny non-zero so the linear map stays exact enough
     # is unnecessary: a zero weight contributes zero either way.
-    stage1 = PlannedGather.build(s_cols, s_w, block_rows, max_window,
-                                 wcap=0)
+    stage1 = None
+    if compact:
+        R1 = block_rows or _adaptive_block_rows(wcap)
+        pre, s_cols2 = _compact_columns(s_cols, s_w != 0.0, R1,
+                                        max_window=max_window)
+        if pre is not None:
+            main = PlannedGather.build(s_cols2, s_w, R1, max_window, wcap=0)
+            if main is not None:
+                stage1 = ChainedGather(pre, main, total)
+    if stage1 is None:
+        stage1 = PlannedGather.build(s_cols, s_w, block_rows, max_window,
+                                     wcap=0)
     if stage1 is None:
         return None
     W2 = int(nsub.max())
@@ -677,16 +750,21 @@ def _cached_spmv(topo):
     but each dynamic-fori_loop probe costs ~15x a sweep step, measuring
     3x SLOWER at 531k nodes on v5e (tools/bench_spmv.py 80: window
     6.7 ms vs diag 21.7 ms vs XLA 62 ms).  AFEM_SPMV=diag opts in for
-    experimentation."""
+    experimentation; AFEM_SPMV=compact opts into the two-stage
+    column-compaction sweep (CompactBellSpmv, ~6x fewer lane-ops on the
+    2.1M sphere_cut plan model)."""
     import os
 
     sp = getattr(topo, "_pallas_spmv", None)
     if sp is None:
         sp = None
-        if os.environ.get("AFEM_SPMV") == "diag":
+        mode = os.environ.get("AFEM_SPMV")
+        if mode == "diag":
             from .pallas_spmv_diag import DiagBellSpmv
 
             sp = DiagBellSpmv(topo)
+        elif mode == "compact":
+            sp = CompactBellSpmv(topo)
         if sp is None or not sp.available:
             sp = PallasBellSpmv(topo)
         topo._pallas_spmv = sp
@@ -782,6 +860,87 @@ def _pallas_matrix_unflatten(meta, data):
 jax.tree_util.register_pytree_node(
     PallasBellMatrix, _pallas_matrix_flatten, _pallas_matrix_unflatten
 )
+
+
+class CompactBellSpmv:
+    """Two-stage column-compaction window SpMV.
+
+    The plain window sweep's cost is (request tiles) × (window rows), and a
+    3D RCM block's columns span ~2·bandwidth ≈ 130k nodes (VL ≈ 350 rows
+    after multi-slot splitting at 1.9M) while touching only ~2.6k DISTINCT
+    columns.  Splitting the gather fixes the mismatch:
+
+      stage 1: xc = x[uniq]  — per-block sorted distinct columns, gathered
+               by a narrow (W=1) planned gather whose own requests are
+               sorted, so ITS windows shrink with the multi-slot planner;
+      stage 2: the original sweep, but over window-LOCAL compact indices —
+               each block's window is exactly its own uniq run (VL ≈ 32).
+
+    Plan-model cost on the 2.1M sphere_cut: 130M lane-op units direct vs
+    9.6M (stage 1, R1=512) + 11.8M (stage 2) ≈ 6.1x fewer.  Same linear
+    map: every entry multiplies the same x value, re-routed through xc.
+
+    Interface-compatible with PallasBellSpmv (available / device_arrays /
+    __call__(values, x, plan_arrays)).
+    """
+
+    STAGE1_ROWS = 1024  # fewer, fatter grid steps than 512 (G=8, VL~176)
+
+    def __init__(self, topo: Topology, block_rows: int | None = None):
+        n, W = topo.n_nodes, topo.width
+        R = block_rows or _adaptive_block_rows(W)
+        self.topo = topo
+        self.plan2 = None
+        if (R * W) % LANE:
+            return
+        cols = np.asarray(topo.ell_cols, np.int64)
+        valid = np.asarray(topo.ell_valid, bool).reshape(n, W)
+        pg1, remap = _compact_columns(cols, valid, R,
+                                      stage1_rows=self.STAGE1_ROWS)
+        if pg1 is None:
+            return
+        plan2 = plan_windows_from_cols(
+            remap.astype(np.int32), int(remap.max()), block_rows=R
+        )
+        if plan2 is None:
+            return
+        self.plan2 = plan2
+        self._pg1 = pg1
+        self._lcols2 = jnp.asarray(plan2.lcols)
+        self._lo2 = jnp.asarray(plan2.lo)
+        self._key2 = (R * W // LANE, plan2.slot_rows, plan2.n_blocks)
+        self._n_compact = pg1.n_rows
+
+    @property
+    def available(self) -> bool:
+        return self.plan2 is not None
+
+    def device_arrays(self) -> tuple:
+        """Pytree-carriable plan data: (stage-1 PlannedGather — itself a
+        registered pytree — stage-2 lcols, stage-2 lo)."""
+        return (self._pg1, self._lcols2, self._lo2)
+
+    def __call__(self, values: jnp.ndarray, x: jnp.ndarray,
+                 plan_arrays: tuple | None = None) -> jnp.ndarray:
+        assert self.plan2 is not None
+        pg1, lcols2, lo2 = plan_arrays if plan_arrays is not None else (
+            self._pg1, self._lcols2, self._lo2
+        )
+        p = self.plan2
+        n, W = self.topo.n_nodes, self.topo.width
+        R, nb = p.block_rows, p.n_blocks
+        G = R * W // LANE
+        vals = values.reshape(n, W).astype(jnp.float32)
+        if nb * R != n:
+            vals = jnp.pad(vals, ((0, nb * R - n), (0, 0)))
+        vals_tiled = vals.reshape(nb, G, LANE)
+        xc = pg1(x.astype(jnp.float32))  # compact per-block column table
+        need = p.need_rows * LANE
+        n_c = -(-max(xc.shape[0], need) // LANE) * LANE
+        xc = jnp.pad(xc, (0, n_c - xc.shape[0])).reshape(n_c // LANE, LANE)
+        prods = _products(vals_tiled, lcols2, lo2, xc, self._key2)
+        y = prods.reshape(nb * R, W).sum(axis=1)
+        return y[:n].astype(x.dtype)
 
 
 class PallasBellSpmv:

@@ -335,8 +335,13 @@ def bench_unstructured() -> dict:
         f"({time.time()-t0:.1f}s)")
 
     # supernode operator is the default (guarded by an on-device parity
-    # self-check below); BENCH_UNSTR_SPMV=window keeps the scalar kernel
-    supernode = os.environ.get("BENCH_UNSTR_SPMV", "supernode") == "supernode"
+    # self-check below); BENCH_UNSTR_SPMV=window keeps the scalar kernel,
+    # =compact opts into the two-stage column-compaction sweep (6.1x fewer
+    # lane-ops on the 2.1M plan model, sparse/pallas_spmv.CompactBellSpmv)
+    spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "supernode")
+    supernode = spmv_mode == "supernode"
+    if spmv_mode == "compact":
+        os.environ["AFEM_SPMV"] = "compact"  # read by _cached_spmv
     key = f"sphere_cut_v3_h{h:g}_r{refine}"
     if supernode:
         # supernode blocking needs its own node order (spatial bricks +

@@ -70,6 +70,43 @@ def test_window_plan_geometry():
     np.testing.assert_array_equal(rec, topo.ell_cols)
 
 
+def test_compact_spmv_plan_linear_map():
+    """CompactBellSpmv's two-stage plan encodes exactly A@x: emulate
+    stage 1 (x[uniq]) with the PlannedGather plan and stage 2 with the
+    remapped window plan, compare against the dense operator."""
+    from arcanefem_tpu.sparse.bell import assemble_bell
+    from arcanefem_tpu.sparse.pallas_spmv import CompactBellSpmv
+
+    mesh = _rcm_mesh(40)
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    sp = CompactBellSpmv(topo)
+    assert sp.available
+    n, W = topo.n_nodes, topo.width
+    rng = np.random.RandomState(3)
+    vals = rng.randn(n, W).astype(np.float32)
+    vals[~np.asarray(topo.ell_valid, bool).reshape(n, W)] = 0.0
+    x = rng.randn(n).astype(np.float32)
+    # stage 1: compact table
+    xc = _emulate_planned(sp._pg1, x)
+    assert len(xc) == sp._n_compact
+    # stage 2: window sweep over compact indices
+    p2 = sp.plan2
+    nb, R = p2.n_blocks, p2.block_rows
+    gcols = p2.global_cols()  # indices into the compact table
+    xc_pad = np.zeros(max(sp._n_compact, gcols.max() + 1), np.float32)
+    xc_pad[: len(xc)] = xc
+    vp = np.zeros((nb * R, W), np.float32)
+    vp[:n] = vals
+    y = (vp * xc_pad[gcols]).sum(axis=1)[:n]
+    ref = (vals * x[np.asarray(topo.ell_cols)]).sum(axis=1)
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=1e-5)
+    # stage-2 windows must never exceed the direct plan's (on 2D meshes
+    # distinct-column count ≈ span so they tie; the 6.1x shrink is a 3D
+    # effect — measured 352 -> 32 rows on the 2.1M sphere_cut plan)
+    direct = plan_windows(topo, block_rows=p2.block_rows)
+    assert sum(p2.slot_rows) <= sum(direct.slot_rows)
+
+
 @pytest.mark.skipif(
     jax.devices()[0].platform != "tpu", reason="needs real TPU"
 )
