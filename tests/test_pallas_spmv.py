@@ -132,6 +132,32 @@ def test_kernel_matches_xla_on_tpu():
     np.testing.assert_allclose(y, yref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU"
+)
+def test_compact_spmv_matches_window_on_tpu():
+    """Two-stage compaction must be the same linear map on hardware."""
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.sparse.pallas_spmv import (
+        CompactBellSpmv, PallasBellSpmv)
+
+    mesh = _rcm_mesh(120)
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    sp_w = PallasBellSpmv(topo)
+    sp_c = CompactBellSpmv(topo)
+    assert sp_w.available and sp_c.available
+    n, W = topo.n_nodes, topo.width
+    rng = np.random.RandomState(7)
+    vals = rng.randn(n, W).astype(np.float32)
+    vals[~np.asarray(topo.ell_valid, bool).reshape(n, W)] = 0.0
+    vals = jnp.asarray(vals)
+    x = jnp.asarray(rng.rand(n).astype(np.float32))
+    yw = np.asarray(sp_w(vals, x))
+    yc = np.asarray(sp_c(vals, x))
+    np.testing.assert_allclose(yc, yw, rtol=1e-6, atol=1e-6)
+
+
 def test_run_case_rcm_golden():
     """run_case(rcm=True) still validates against the uid-keyed golden."""
     from arcanefem_tpu.fem.runner import run_case
