@@ -554,8 +554,29 @@ class PlannedGather:
         n_t = -(-max(tp.shape[0], need) // LANE) * LANE
         tp = jnp.pad(tp, (0, n_t - tp.shape[0])).reshape(n_t // LANE, LANE)
         prods = _products(self.vals_tiled, self.lcols, self.lo, tp, self.key)
-        out = prods.reshape(nb * R, self.width).sum(axis=1)[: self.n_rows]
+        out = self._row_sums(prods, nb, R)[: self.n_rows]
         return out.astype(table.dtype)
+
+    def _row_sums(self, prods: "jnp.ndarray", nb: int,
+                  R: int) -> "jnp.ndarray":
+        """Per-row sums of the kernel's (nb, G, 128) product tiles.
+
+        The generic reshape((nb·R, W)).sum(1) forces a physical relayout
+        whose (8,128)-tiled form pads W up to 128 lanes — at assembly
+        scale (51M subrows × W=8) that is a 26 GB HBM allocation (measured
+        OOM on v5e, 2026-08-19).  When W divides 128 each lane tile holds
+        exactly 128/W whole rows in order, so the row sums are one
+        MXU contraction with a 0/1 lane-selection matrix — no relayout."""
+        W = self.width
+        if LANE % W == 0:
+            k = LANE // W
+            sel = jnp.asarray(
+                np.repeat(np.eye(k, dtype=np.float32), W, axis=0)
+            )  # (128, k): lane l -> row-slot l//W
+            s = jnp.einsum("bgl,lk->bgk", prods, sel,
+                           preferred_element_type=jnp.float32)
+            return s.reshape(nb * R)
+        return prods.reshape(nb * R, W).sum(axis=1)
 
     def call_batched(self, tables: "jnp.ndarray") -> "jnp.ndarray":
         """Apply to a (B, n_table) stack of tables sharing this plan in ONE
@@ -728,6 +749,11 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
     if stage1 is None:
         return None
     W2 = int(nsub.max())
+    # round W2 up to a divisor of 128 so the row-sum stays the fused MXU
+    # contraction (_row_sums): a non-divisor width falls back to the
+    # padded-relayout reduce, which is a 24 GB HBM bomb at 47M rows
+    while LANE % W2:
+        W2 += 1
     o_cols = np.zeros((n, W2), np.int64)
     o_w = np.zeros((n, W2), np.float32)
     r2 = np.repeat(np.arange(n), nsub)
@@ -800,7 +826,8 @@ class PallasBellMatrix:
     jit traces see them as runtime buffers, not embedded literals.
     """
 
-    def __init__(self, values, topo, block=1, cols=None, plan_arrays=None):
+    def __init__(self, values, topo, block=1, cols=None, plan_arrays=None,
+                 plan_kind=None):
         from .bell import BellMatrix
 
         self._bell = BellMatrix(values=values, topo=topo, block=block,
@@ -810,7 +837,28 @@ class PallasBellMatrix:
             plan_arrays = (
                 sp.device_arrays() if hasattr(sp, "device_arrays") else None
             )
+            plan_kind = type(sp).__name__
         self._plan_arrays = plan_arrays
+        self._plan_kind = plan_kind
+
+    # plan arrays are kernel-MODE-specific (window: 2-tuple, compact:
+    # 3-tuple).  Pickled hierarchies (bench AMG cache) must not bake in
+    # the mode they were built under — drop the arrays on pickle and
+    # regenerate for the CURRENT mode's kernel on load.
+    def __getstate__(self):
+        return {"_bell": self._bell, "_plan_arrays": self._plan_arrays,
+                "_plan_kind": getattr(self, "_plan_kind", None)}
+
+    def __setstate__(self, state):
+        self._bell = state["_bell"]
+        sp = _cached_spmv(self._bell.topo)
+        if state.get("_plan_kind") == type(sp).__name__:
+            self._plan_arrays = state["_plan_arrays"]
+        else:
+            self._plan_arrays = (
+                sp.device_arrays() if hasattr(sp, "device_arrays") else None
+            )
+        self._plan_kind = type(sp).__name__
 
     # delegate everything except spmv
     def __getattr__(self, name):
@@ -842,19 +890,21 @@ class PallasBellMatrix:
             values=values.reshape(self._bell.values.shape),
             topo=self._bell.topo, block=self._bell.block,
             cols=self._bell.cols, plan_arrays=self._plan_arrays,
+            plan_kind=getattr(self, "_plan_kind", None),
         )
 
 
 def _pallas_matrix_flatten(m):
     return (
         (m._bell.values, m._bell.cols, m._plan_arrays),
-        (m._bell.topo, m._bell.block),
+        (m._bell.topo, m._bell.block, getattr(m, "_plan_kind", None)),
     )
 
 
 def _pallas_matrix_unflatten(meta, data):
     return PallasBellMatrix(values=data[0], topo=meta[0], block=meta[1],
-                            cols=data[1], plan_arrays=data[2])
+                            cols=data[1], plan_arrays=data[2],
+                            plan_kind=meta[2] if len(meta) > 2 else None)
 
 
 jax.tree_util.register_pytree_node(

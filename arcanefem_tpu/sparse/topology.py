@@ -48,6 +48,16 @@ class Topology:
     # (nc, npc, npc) int32 of flat ELL block slots
     slot_maps: dict[str, np.ndarray]
 
+    def __getstate__(self):
+        # drop derived caches (e.g. the _pallas_spmv kernel attached by
+        # sparse/pallas_spmv._cached_spmv): they are mode-dependent and
+        # would bloat pickled AMG hierarchies with whole kernel plans
+        d = dict(self.__dict__)
+        for k in list(d):
+            if k.startswith("_"):
+                d.pop(k)
+        return d
+
     @property
     def nnz(self) -> int:
         return int(self.csr_cols.shape[0])

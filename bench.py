@@ -701,6 +701,8 @@ def bench_unstructured() -> dict:
         "nnz_stored": int(topo.nnz),
         # which fine-operator path actually ran (supernode may fall back)
         "spmv_path": type(Ap).__name__,
+        # which window kernel backs it (window vs compact vs diag)
+        "spmv_kernel": getattr(Ap, "_plan_kind", None),
         "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
         "amg_cycle": amg_cycle,
         "vcycle_bf16": vcycle_bf16,

@@ -44,6 +44,11 @@ run tpu_tests 2400 python -m pytest tests/test_pallas_spmv.py -q -k on_tpu
 #    probe crash before the fix)
 run bench_window 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=window python bench.py
 
+# 1b. window-gather assembly retry: the first attempt OOM'd on the
+#     (51M, 8) tile-padded row-sum relayout (26 GB); _row_sums now
+#     reduces via an MXU lane-selection contraction when W | 128
+run bench_asm_window2 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=window AFEM_UNSTR_ASM=window python bench.py
+
 # 2. compact-column SpMV (plan model: ~6x fewer lane-ops than window)
 run bench_compact 3600 BENCH_BOX=0 BENCH_UNSTR_SPMV=compact python bench.py
 
