@@ -310,6 +310,35 @@ def bench_structured() -> dict:
     }
 
 
+def _pickle_cache(path, build, what):
+    """Amortize host-side setup across runs (the Hypre analogue keeps
+    its GPU Setup at 0.5-1.5s every run; our scipy setup is minutes at
+    10M — VERDICT r2 #8).  Pickle round-trips the jit-facing pytrees
+    (jax arrays land back on the default device)."""
+    import pickle
+
+    if os.path.exists(path) and os.environ.get("BENCH_NO_CACHE") != "1":
+        t0 = time.time()
+        try:
+            with open(path, "rb") as f:
+                obj = pickle.load(f)
+            log(f"[unstr] {what} cache hit ({time.time()-t0:.1f}s)")
+            return obj, True
+        except Exception as e:
+            log(f"[unstr] {what} cache load failed ({e!r}); rebuilding")
+    obj = build()
+    try:
+        t0 = time.time()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(obj, f, protocol=4)
+        os.replace(path + ".tmp", path)
+        log(f"[unstr] {what} cached ({time.time()-t0:.1f}s, {path})")
+    except Exception as e:
+        log(f"[unstr] {what} cache write failed ({e!r})")
+    return obj, False
+
+
 def bench_unstructured() -> dict:
     """PRIMARY: sphere_cut tetra mesh, BELL assembly + AMG-PCG to 1e-8."""
     jax = _setup_jax()
@@ -338,7 +367,10 @@ def bench_unstructured() -> dict:
     # self-check below); BENCH_UNSTR_SPMV=window keeps the scalar kernel,
     # =compact opts into the two-stage column-compaction sweep (6.1x fewer
     # lane-ops on the 2.1M plan model, sparse/pallas_spmv.CompactBellSpmv)
-    spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "supernode")
+    # window is the measured champion at 1.9M (400 ms/iter vs supernode's
+    # 666, and supernode's big-kernel programs die on remote-compile 413s
+    # 2/3 runs); BENCH_UNSTR_SPMV=supernode opts back in
+    spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "window")
     supernode = spmv_mode == "supernode"
     if spmv_mode == "compact":
         os.environ["AFEM_SPMV"] = "compact"  # read by _cached_spmv
@@ -391,8 +423,20 @@ def bench_unstructured() -> dict:
     n, W = topo.n_nodes, topo.width
 
     t0 = time.time()
-    asm = TetraLaneAssembler(topo, mesh.cells["tetra4"])
-    log(f"[unstr] assembler plan {time.time()-t0:.1f}s")
+    asm_mode = os.environ.get("AFEM_UNSTR_ASM", "segsum")
+    if asm_mode != "segsum":
+        # the window-reducer plan costs ~11 min of host numpy at 1.9M;
+        # segsum's (~50s) is not worth the multi-GB pickle round-trip
+        asm, _ = _pickle_cache(
+            os.path.join("/tmp/afem_meshes",
+                         f"asmplan_{key}_{asm_mode}_{platform}_v1.pkl"),
+            lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"]),
+            f"assembler plan ({asm_mode})",
+        )
+    else:
+        asm = TetraLaneAssembler(topo, mesh.cells["tetra4"])
+    log(f"[unstr] assembler plan {time.time()-t0:.1f}s "
+        f"(reducer={asm.reducer_kind})")
 
     t0 = time.time()
     vals = asm(coords)
@@ -451,34 +495,6 @@ def bench_unstructured() -> dict:
     )
     b = jnp.asarray(rhs_np.astype(dtype))
     x0 = jnp.asarray(np.where(mask, gv, 0.0).astype(dtype))
-
-    def _pickle_cache(path, build, what):
-        """Amortize host-side setup across runs (the Hypre analogue keeps
-        its GPU Setup at 0.5-1.5s every run; our scipy setup is minutes at
-        10M — VERDICT r2 #8).  Pickle round-trips the jit-facing pytrees
-        (jax arrays land back on the default device)."""
-        import pickle
-
-        if os.path.exists(path) and os.environ.get("BENCH_NO_CACHE") != "1":
-            t0 = time.time()
-            try:
-                with open(path, "rb") as f:
-                    obj = pickle.load(f)
-                log(f"[unstr] {what} cache hit ({time.time()-t0:.1f}s)")
-                return obj, True
-            except Exception as e:
-                log(f"[unstr] {what} cache load failed ({e!r}); rebuilding")
-        obj = build()
-        try:
-            t0 = time.time()
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path + ".tmp", "wb") as f:
-                pickle.dump(obj, f, protocol=4)
-            os.replace(path + ".tmp", path)
-            log(f"[unstr] {what} cached ({time.time()-t0:.1f}s, {path})")
-        except Exception as e:
-            log(f"[unstr] {what} cache write failed ({e!r})")
-        return obj, False
 
     t0 = time.time()
     # chebyshev level smoother: 40->25 iters at 268k for the same fine
