@@ -13,8 +13,13 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("AFEM_TEST_TPU") == "1":
+    # run the `-k on_tpu` kernel tests on the real backend (f32): the
+    # unconditional CPU pin below otherwise makes their skipif always fire
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
