@@ -781,10 +781,14 @@ def _cached_spmv(topo):
     2.1M sphere_cut plan model)."""
     import os
 
+    mode = os.environ.get("AFEM_SPMV")
     sp = getattr(topo, "_pallas_spmv", None)
-    if sp is None:
+    # the cache is mode-keyed: a kernel built (or unpickled from an old
+    # hierarchy cache) under another AFEM_SPMV must not silently serve
+    # this one — rebuild for the requested mode instead
+    if sp is not None and getattr(topo, "_pallas_spmv_mode", None) != mode:
         sp = None
-        mode = os.environ.get("AFEM_SPMV")
+    if sp is None:
         if mode == "diag":
             from .pallas_spmv_diag import DiagBellSpmv
 
@@ -794,6 +798,7 @@ def _cached_spmv(topo):
         if sp is None or not sp.available:
             sp = PallasBellSpmv(topo)
         topo._pallas_spmv = sp
+        topo._pallas_spmv_mode = mode
     return sp
 
 
