@@ -472,6 +472,7 @@ def build_amg(
     trunc_rel: float = 0.05,
     sawtooth: bool = False,
     cycle: str = "V",
+    compact: bool | None = None,
 ) -> AMGPrecond:
     """Host-side setup: strength -> aggregation -> Galerkin, per level.
 
@@ -721,6 +722,13 @@ def build_amg(
         _mark(f"level {len(mats)-1} ({n}->{cur.shape[0]} dofs)")
 
     pallas_ok = use_pallas and jax.devices()[0].platform == "tpu"
+    if compact is None:
+        # column-compaction pre-gather for every planned window sweep
+        # (level operators + transfers): ~6x fewer lane-ops on 3D-bandwidth
+        # plans (sparse/pallas_spmv.CompactBellSpmv analysis)
+        import os as _os
+
+        compact = _os.environ.get("AFEM_SPMV") == "compact"
 
     def to_bell(M, pallas: bool) -> BellMatrix:
         M = M.tocsr()
@@ -742,7 +750,8 @@ def build_amg(
             from ..sparse.pallas_spmv import PlannedGather
 
             g = PlannedGather.build(
-                np.where(t.ell_valid, t.ell_cols, 0), vals * t.ell_valid
+                np.where(t.ell_valid, t.ell_cols, 0), vals * t.ell_valid,
+                compact=compact,
             )
             if g is not None:
                 return _PlannedMat(bm, g)
@@ -792,8 +801,10 @@ def build_amg(
         ptvals.append(tv)
         ga = gt = None
         if pallas_ok and P.shape[0] >= 1500:
-            ga = PlannedGather.build(np.asarray(pc), np.asarray(pv))
-            gt = PlannedGather.build(np.asarray(tc), np.asarray(tv))
+            ga = PlannedGather.build(np.asarray(pc), np.asarray(pv),
+                                     compact=compact)
+            gt = PlannedGather.build(np.asarray(tc), np.asarray(tv),
+                                     compact=compact)
         p_apply.append(ga)
         pt_apply.append(gt)
         _mark(f"transfers[{len(p_apply)-1}]")

@@ -373,9 +373,14 @@ def bench_unstructured() -> dict:
     spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "window")
     supernode = spmv_mode == "supernode"
     if spmv_mode == "compact":
-        os.environ["AFEM_SPMV"] = "compact"  # read by _cached_spmv
+        # read by _cached_spmv AND build_amg (level operators + transfers)
+        os.environ["AFEM_SPMV"] = "compact"
     key = f"sphere_cut_v3_h{h:g}_r{refine}"
-    if supernode:
+    # node ordering is decoupled from the SpMV mode: the supernode
+    # brick+RCM order measured 400 ms/iter vs plain RCM's 510 for the SAME
+    # window kernel at 1.9M — BENCH_UNSTR_ORDER=sn opts any mode into it
+    use_sn = supernode or os.environ.get("BENCH_UNSTR_ORDER", "") == "sn"
+    if use_sn:
         # supernode blocking needs its own node order (spatial bricks +
         # brick-graph RCM, sparse/supernode.py) so supernodes are
         # consecutive 8-chunks; re-permute the cached RCM mesh (and cache
@@ -514,10 +519,12 @@ def bench_unstructured() -> dict:
     # V (default) or W: second coarse visit per level — targets the
     # measured iteration growth at 8.9M DoF (21 iters at 1.9M -> 55)
     amg_cycle = os.environ.get("BENCH_AMG_CYCLE", "V")
+    amg_compact = os.environ.get("AFEM_SPMV") == "compact"
     amg_path = os.path.join(
         "/tmp/afem_meshes",
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
-        f"_t{amg_theta:g}_{platform}_p{penalty:g}_v2.pkl",
+        f"_t{amg_theta:g}_{platform}_p{penalty:g}"
+        f"{'_compact' if amg_compact else ''}_v2.pkl",
     )
     M, amg_cached = _pickle_cache(
         amg_path,
@@ -718,7 +725,10 @@ def bench_unstructured() -> dict:
         # which fine-operator path actually ran (supernode may fall back)
         "spmv_path": type(Ap).__name__,
         # which window kernel backs it (window vs compact vs diag)
-        "spmv_kernel": getattr(Ap, "_plan_kind", None),
+        "spmv_kernel": getattr(Ap, "_plan_kind", None) or type(
+            getattr(Ap, "gather", None)
+        ).__name__,
+        "amg_compact": amg_compact,
         "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
         "amg_cycle": amg_cycle,
         "vcycle_bf16": vcycle_bf16,

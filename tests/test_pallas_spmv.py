@@ -242,7 +242,9 @@ def _emulate(g, table):
     from arcanefem_tpu.sparse.pallas_spmv import ChainedGather
 
     if isinstance(g, ChainedGather):
-        return _emulate_planned(g.stage2, _emulate_planned(g.stage1, table))
+        # compact plans nest: stage1 may itself be a ChainedGather
+        # (column pre-gather -> remapped main sweep)
+        return _emulate(g.stage2, _emulate(g.stage1, table))
     return _emulate_planned(g, table)
 
 
@@ -500,3 +502,22 @@ def test_planned_gather_bf16_weights():
     # and it is genuinely quantized, not a pass-through
     assert np.abs(np.asarray(gq.vals_tiled) -
                   np.asarray(g.vals_tiled)).max() > 0
+
+def test_build_compact_wide_rows_linear_map():
+    """PlannedGather.build(compact=True) on AMG-level-like wide rows
+    (W=60, banded) emulates to exactly y = sum_j w[r,j] x[cols[r,j]] —
+    the path build_amg's level operators take under AFEM_SPMV=compact."""
+    from arcanefem_tpu.sparse.pallas_spmv import PlannedGather
+
+    rng = np.random.RandomState(11)
+    n, W, bw = 3000, 60, 180
+    base = np.clip(np.arange(n)[:, None] - bw // 2, 0, n - 1)
+    cols = np.clip(base + rng.randint(0, bw, (n, W)), 0, n - 1)
+    w = rng.randn(n, W).astype(np.float32)
+    w[rng.rand(n, W) < 0.3] = 0.0  # padding entries
+    g = PlannedGather.build(cols, w, compact=True)
+    assert g is not None
+    x = rng.rand(n).astype(np.float32)
+    y = _emulate(g, x)
+    ref = (w * x[cols]).sum(axis=1)
+    np.testing.assert_allclose(y, ref, rtol=3e-5, atol=3e-5)
