@@ -310,7 +310,7 @@ def bench_structured() -> dict:
     }
 
 
-def _pickle_cache(path, build, what):
+def _pickle_cache(path, build, what, validate=None):
     """Amortize host-side setup across runs (the Hypre analogue keeps
     its GPU Setup at 0.5-1.5s every run; our scipy setup is minutes at
     10M — VERDICT r2 #8).  Pickle round-trips the jit-facing pytrees
@@ -322,11 +322,20 @@ def _pickle_cache(path, build, what):
         try:
             with open(path, "rb") as f:
                 obj = pickle.load(f)
-            log(f"[unstr] {what} cache hit ({time.time()-t0:.1f}s)")
-            return obj, True
+            if validate is not None and not validate(obj):
+                log(f"[unstr] {what} cache INVALID; rebuilding")
+            else:
+                log(f"[unstr] {what} cache hit ({time.time()-t0:.1f}s)")
+                return obj, True
         except Exception as e:
             log(f"[unstr] {what} cache load failed ({e!r}); rebuilding")
     obj = build()
+    if validate is not None and not validate(obj):
+        # never cache a fallback object under this key (e.g. a segsum
+        # assembler built because the window plan failed on this mesh)
+        log(f"[unstr] {what} build does not satisfy the cache key; "
+            "not caching")
+        return obj, False
     try:
         t0 = time.time()
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -376,10 +385,13 @@ def bench_unstructured() -> dict:
         # read by _cached_spmv AND build_amg (level operators + transfers)
         os.environ["AFEM_SPMV"] = "compact"
     key = f"sphere_cut_v3_h{h:g}_r{refine}"
-    # node ordering is decoupled from the SpMV mode: the supernode
-    # brick+RCM order measured 400 ms/iter vs plain RCM's 510 for the SAME
-    # window kernel at 1.9M — BENCH_UNSTR_ORDER=sn opts any mode into it
-    use_sn = supernode or os.environ.get("BENCH_UNSTR_ORDER", "") == "sn"
+    # node ordering is decoupled from the SpMV mode and DEFAULTS to the
+    # supernode brick+RCM order: it measured 400 ms/iter vs plain RCM's
+    # 510 for the SAME window kernel at 1.9M, and it is the only ordering
+    # on which the window-gather ASSEMBLY plans at 3D scale (on plain RCM
+    # the slot-sorted source band exceeds every window budget — ROADMAP
+    # "scatter tax").  BENCH_UNSTR_ORDER=rcm opts out.
+    use_sn = supernode or os.environ.get("BENCH_UNSTR_ORDER", "sn") != "rcm"
     if use_sn:
         # supernode blocking needs its own node order (spatial bricks +
         # brick-graph RCM, sparse/supernode.py) so supernodes are
@@ -437,6 +449,7 @@ def bench_unstructured() -> dict:
                          f"asmplan_{key}_{asm_mode}_{platform}_v1.pkl"),
             lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"]),
             f"assembler plan ({asm_mode})",
+            validate=lambda a: a.reducer_kind == asm_mode,
         )
     else:
         asm = TetraLaneAssembler(topo, mesh.cells["tetra4"])
