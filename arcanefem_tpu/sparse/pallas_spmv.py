@@ -573,8 +573,12 @@ class PlannedGather:
             sel = jnp.asarray(
                 np.repeat(np.eye(k, dtype=np.float32), W, axis=0)
             )  # (128, k): lane l -> row-slot l//W
+            # precision=HIGHEST: the default TPU matmul quantizes f32
+            # inputs to bf16 — a silent ~0.4% error on every row sum
+            # (caught by the on-TPU parity tests, 2026-08-19)
             s = jnp.einsum("bgl,lk->bgk", prods, sel,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
             return s.reshape(nb * R)
         return prods.reshape(nb * R, W).sum(axis=1)
 

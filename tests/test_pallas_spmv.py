@@ -359,6 +359,8 @@ def test_sorted_entry_assembler_matches_segment_sum():
     jax.devices()[0].platform != "tpu", reason="needs real TPU"
 )
 def test_lane_assembler_window_matches_segsum_on_tpu():
+    import jax.numpy as jnp
+
     from arcanefem_tpu.mesh.generate import box_tetra_mesh
     from arcanefem_tpu.ops.lane_assembly import TetraLaneAssembler
 
