@@ -8,10 +8,12 @@ timing + per-phase solve timers; BASELINE.md's sphere_cut recipe):
    north-star geometry, meshes/med/sphere_cut.py rebuilt as a BCC-lattice
    filtered Delaunay + red refinement, mesh/unstructured.py): BELL
    segment-sum assembly + SA-AMG-preconditioned CG (solver/amg.py, the
-   BoomerAMG role) with the supernode-blocked operator (self-checked;
-   window SpMV fallback).  Default ~1.9M DoF (BENCH_UNSTR_H /
-   BENCH_UNSTR_REFINE scale it; h=6 refine=3 reaches ~8.9M).  Expected
-   iterations to 1e-8 at 1.9M (measured CPU): 33 jacobi / 23 chebyshev.
+   BoomerAMG role) with the window-kernel fine operator on the supernode
+   brick+RCM node ordering (both measured champions on v5e 2026-08-19;
+   BENCH_UNSTR_SPMV=supernode|compact and BENCH_UNSTR_ORDER=rcm select
+   alternatives).  Default ~1.9M DoF (BENCH_UNSTR_H /
+   BENCH_UNSTR_REFINE scale it; h=6 refine=3 reaches ~8.9M).  Measured
+   at 1.9M on v5e: 24 chebyshev iterations, 400 ms/iter.
    AMG setup (host, scipy) is timed separately — the analogue of the
    reference's HypreSetup timer (HypreDoFLinearSystem.cc:730).
 2. SECONDARY — structured Kuhn-tet box at 11.4M DoF: stencil DIA
