@@ -457,6 +457,58 @@ def _coarse_inverse(coarse_dense: np.ndarray) -> np.ndarray:
     return np.linalg.pinv(B, rcond=1e-10) / d[None, :]
 
 
+def truncate_rows(P, kmax=8, rel=0.05, rescale=True):
+    """Cap P's row width: keep the kmax largest-|.| entries per row
+    (and drop entries below rel·rowmax), rescaling the survivors so
+    each row sum is preserved — constants stay exactly interpolated.
+    Unbounded SA prolongator width is what blew the Galerkin operators
+    up to W=1700 on the 300k sphere_cut hierarchy.
+
+    rescale=False for RBM prolongators: their rows mix translation and
+    rotation columns, so the row sum is meaningless and near-zero sums
+    produce wild scale factors (measured 2x WORSE convergence than the
+    translations-only hierarchy with rescaling on)."""
+    indptr, dat = P.indptr, P.data
+    deg = np.diff(indptr)
+    if len(dat) == 0 or int(deg.max(initial=0)) <= kmax and rel == 0:
+        return P
+    nr = P.shape[0]
+    rows = np.repeat(np.arange(nr), deg)
+    order = np.lexsort((-np.abs(dat), rows))
+    rank = np.arange(len(dat)) - np.repeat(indptr[:-1], deg)
+    keep = np.zeros(len(dat), bool)
+    keep[order] = rank < kmax
+    if rel > 0:
+        rowmax = np.zeros(nr)
+        np.maximum.at(rowmax, rows, np.abs(dat))
+        keep &= np.abs(dat) >= rel * rowmax[rows]
+    import scipy.sparse as sp
+
+    if not rescale:
+        Q = sp.csr_matrix((dat * keep, P.indices, indptr), shape=P.shape)
+        Q.eliminate_zeros()
+        return Q
+    full = np.zeros(nr)
+    kept = np.zeros(nr)
+    np.add.at(full, rows, dat)
+    np.add.at(kept, rows, dat * keep)
+    # rescale only where the kept entries carry the row's mass, and
+    # never amplify by more than 4x: a near-cancelling kept-sum
+    # (mixed-sign smoothed-P rows) otherwise blows survivors up by
+    # 1e6+ and poisons the Galerkin product with inf-inf=NaN — the
+    # observed fresh-1.9M-hierarchy NaN that the pinv coarse fallback
+    # had to absorb (ROADMAP round-3 "AMG NaN forensics")
+    raw = full / np.where(kept == 0, 1, kept)
+    scale = np.where(
+        np.abs(kept) > 0.1 * np.abs(full), np.clip(raw, -4.0, 4.0), 1.0
+    )
+    Q = sp.csr_matrix(
+        (dat * keep * scale[rows], P.indices, indptr), shape=P.shape
+    )
+    Q.eliminate_zeros()
+    return Q
+
+
 def build_amg(
     A: BellMatrix,
     theta: float = 0.08,
@@ -576,48 +628,6 @@ def build_amg(
             T += np.diag(off, 1) + np.diag(off, -1)
         lam = float(np.linalg.eigvalsh(T).max()) if len(alphas) else gersh
         return float(min(1.08 * lam, gersh))
-
-    def truncate_rows(P, kmax=8, rel=0.05, rescale=True):
-        """Cap P's row width: keep the kmax largest-|.| entries per row
-        (and drop entries below rel·rowmax), rescaling the survivors so
-        each row sum is preserved — constants stay exactly interpolated.
-        Unbounded SA prolongator width is what blew the Galerkin operators
-        up to W=1700 on the 300k sphere_cut hierarchy.
-
-        rescale=False for RBM prolongators: their rows mix translation and
-        rotation columns, so the row sum is meaningless and near-zero sums
-        produce wild scale factors (measured 2x WORSE convergence than the
-        translations-only hierarchy with rescaling on)."""
-        indptr, dat = P.indptr, P.data
-        deg = np.diff(indptr)
-        if len(dat) == 0 or int(deg.max(initial=0)) <= kmax and rel == 0:
-            return P
-        nr = P.shape[0]
-        rows = np.repeat(np.arange(nr), deg)
-        order = np.lexsort((-np.abs(dat), rows))
-        rank = np.arange(len(dat)) - np.repeat(indptr[:-1], deg)
-        keep = np.zeros(len(dat), bool)
-        keep[order] = rank < kmax
-        if rel > 0:
-            rowmax = np.zeros(nr)
-            np.maximum.at(rowmax, rows, np.abs(dat))
-            keep &= np.abs(dat) >= rel * rowmax[rows]
-        import scipy.sparse as sp
-
-        if not rescale:
-            Q = sp.csr_matrix((dat * keep, P.indices, indptr), shape=P.shape)
-            Q.eliminate_zeros()
-            return Q
-        full = np.zeros(nr)
-        kept = np.zeros(nr)
-        np.add.at(full, rows, dat)
-        np.add.at(kept, rows, dat * keep)
-        scale = np.where(np.abs(kept) > 1e-30, full / np.where(kept == 0, 1, kept), 1.0)
-        Q = sp.csr_matrix(
-            (dat * keep * scale[rows], P.indices, indptr), shape=P.shape
-        )
-        Q.eliminate_zeros()
-        return Q
 
     dtype = np.asarray(A.values).dtype
     mats, inv_diags, Ps, rhos = [], [], [], []

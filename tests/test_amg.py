@@ -356,3 +356,40 @@ def test_pcg_pair_and_flex_match_pcg():
     assert abs(int(kp) - int(k)) <= 2 and abs(int(kf) - int(k)) <= 2
     np.testing.assert_allclose(np.asarray(xp), np.asarray(x), atol=2e-7)
     np.testing.assert_allclose(np.asarray(xf), np.asarray(x), atol=2e-7)
+
+
+def test_truncate_rows_never_amplifies_cancelling_rows():
+    """Row-sum-preserving truncation must not blow up rows whose kept
+    entries nearly cancel: the fresh 1.9M sphere_cut hierarchy produced a
+    NaN coarse Galerkin operator when a mixed-sign smoothed-P row's kept
+    sum was ~1e-10 of its full sum and the rescale multiplied survivors by
+    ~1e10 (ROADMAP round-3 "AMG NaN forensics").  The scale is now gated
+    on the kept entries carrying the row's mass and clipped to [-4, 4]."""
+    import scipy.sparse as sp
+
+    from arcanefem_tpu.solver.amg import truncate_rows
+
+    # row 0: benign wide row (truncates + rescales normally)
+    # row 1: 10 entries of +1 and one entry of +1e-9; kmax drops nothing
+    #        below rel threshold except tiny ones -> fine
+    # row 2: cancelling row — kept entries sum to 1e-12, full sum 0.5
+    rows, cols, dat = [], [], []
+    rows += [0] * 12
+    cols += list(range(12))
+    dat += [1.0] * 12
+    rows += [1] * 3
+    cols += [0, 1, 2]
+    dat += [1.0, 1.0, 1e-9]
+    rows += [2] * 10
+    cols += list(range(10))
+    # 9 large alternating entries cancelling to ~0, one small +0.5 that
+    # the kmax=8 cut drops -> kept sum ~1e-12, full sum ~0.5
+    dat += [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1e-12, 0.5]
+    P = sp.csr_matrix((dat, (rows, cols)), shape=(3, 12))
+    Q = truncate_rows(P, kmax=8, rel=0.0)
+    q = Q.toarray()
+    assert np.all(np.isfinite(q))
+    # no surviving entry may be amplified by more than the 4x clip
+    assert np.abs(q).max() <= 4.0 + 1e-12
+    # benign rows keep their row sums exactly (constant interpolation)
+    np.testing.assert_allclose(q[0].sum(), 12.0, rtol=1e-12)
