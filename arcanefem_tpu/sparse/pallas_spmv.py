@@ -46,6 +46,12 @@ from .topology import Topology
 
 LANE = 128
 
+# Sentinel virtual index for padding entries in UNIT-weight plans: its
+# window row (sentinel >> 7 = 2^21) exceeds every possible sweep height
+# (VL ≤ 1024 rows, chunk-rounded), so the sweep's `hi == k` select never
+# matches and the pad contributes exact 0 — no weights array needed.
+_UNIT_PAD = np.int32(1 << 28)
+
 
 @dataclass
 class WindowPlan:
@@ -71,13 +77,15 @@ class WindowPlan:
     order: np.ndarray | None  # flat entry order used for tiling (or None)
 
     def global_cols(self) -> np.ndarray:
-        """Reconstruct the original (nb·R, W) column indices (tests)."""
+        """Reconstruct the original (nb·R, W) column indices (tests).
+        Unit-plan padding sentinels come back as -1."""
         off = np.concatenate([[0], np.cumsum(self.slot_rows)])
         v = self.lcols.reshape(self.n_blocks, -1).astype(np.int64)
-        vrow, lane = v >> 7, v & (LANE - 1)
+        pad = v >= int(_UNIT_PAD)
+        vrow, lane = (v >> 7) % max(int(off[-1]), 1), v & (LANE - 1)
         s = np.searchsorted(off, vrow, side="right") - 1
         g = (self.lo[np.arange(self.n_blocks)[:, None], s] + vrow - off[s])
-        return (g * LANE + lane).reshape(
+        return np.where(pad, -1, g * LANE + lane).reshape(
             self.n_blocks * self.block_rows, self.width
         )
 
@@ -260,7 +268,13 @@ _FULL_UNROLL_ROWS = 256
 _CHUNK_ROWS = 32  # multiple of 8 (sublane-aligned dynamic slices)
 
 
-def _make_kernel(G: int, slot_rows: tuple, batched: bool = False):
+def _make_kernel(G: int, slot_rows: tuple, batched: bool = False,
+                 unit: bool = False):
+    """unit=True: no weights operand — every real entry contributes with
+    weight 1.0 and padding entries carry the _UNIT_PAD sentinel index
+    (their `hi` never matches a sweep row).  Saves the (nb, G, LANE) f32
+    weight array AND one vector multiply per output tile — assembly
+    reductions and ChainedGather stage-2s are pure unit-weight sums."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -270,7 +284,11 @@ def _make_kernel(G: int, slot_rows: tuple, batched: bool = False):
         offs.append(offs[-1] + r)
     VL = offs[-1]  # window rows (LANE lanes each)
 
-    def body(lo_ref, vals_ref, lcols_ref, x_hbm, out_ref, win_ref, *sems):
+    def body(lo_ref, *refs):
+        if unit:
+            lcols_ref, x_hbm, out_ref, win_ref, *sems = refs
+        else:
+            vals_ref, lcols_ref, x_hbm, out_ref, win_ref, *sems = refs
         cps = []
         for s in range(S):
             if batched:
@@ -320,10 +338,14 @@ def _make_kernel(G: int, slot_rows: tuple, batched: bool = False):
         # weights may ride as bf16 (preconditioner-only precision — halves
         # the nnz-sized weight stream, the kernel's dominant HBM traffic);
         # the product/accumulation stays f32
-        if batched:
-            out_ref[0, 0] = vals_ref[0].astype(jnp.float32) * acc
+        if unit:
+            out = acc
         else:
-            out_ref[0] = vals_ref[0].astype(jnp.float32) * acc
+            out = vals_ref[0].astype(jnp.float32) * acc
+        if batched:
+            out_ref[0, 0] = out
+        else:
+            out_ref[0] = out
 
     return body
 
@@ -372,6 +394,75 @@ def _products(vals_tiled, lcols, lo, x, key):
             vmem_limit_bytes=48 * 1024 * 1024,
         ),
     )(lo, vals_tiled, lcols, x)
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _products_unit(lcols, lo, x, key):
+    """`_products` without the weights operand (unit-weight plans)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, slot_rows, nb = key
+    S = len(slot_rows)
+    V = sum(slot_rows) * LANE
+    lo = lo.reshape(nb, 1, S)
+    return pl.pallas_call(
+        _make_kernel(G, slot_rows, unit=True),
+        out_shape=jax.ShapeDtypeStruct((nb, G, LANE), jnp.float32),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, LANE), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G, LANE), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(
+            (V // LANE if V // LANE <= _FULL_UNROLL_ROWS
+             else -(-(V // LANE) // _CHUNK_ROWS) * _CHUNK_ROWS, LANE),
+            jnp.float32)]
+        + [pltpu.SemaphoreType.DMA] * S,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+    )(lo, lcols, x)
+
+
+@partial(jax.jit, static_argnames=("key",))
+def _products_b_unit(lcols, lo, xs, key):
+    """Batched `_products_unit` (grid (nb, B), shared plan)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G, slot_rows, nb = key
+    S = len(slot_rows)
+    V = sum(slot_rows) * LANE
+    B = xs.shape[0]
+    lo = lo.reshape(nb, 1, S)
+    return pl.pallas_call(
+        _make_kernel(G, slot_rows, batched=True, unit=True),
+        out_shape=jax.ShapeDtypeStruct((nb, B, G, LANE), jnp.float32),
+        grid=(nb, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, S), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, G, LANE), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, LANE), lambda b, r: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM(
+            (V // LANE if V // LANE <= _FULL_UNROLL_ROWS
+             else -(-(V // LANE) // _CHUNK_ROWS) * _CHUNK_ROWS, LANE),
+            jnp.float32)]
+        + [pltpu.SemaphoreType.DMA] * S,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+    )(lo, lcols, xs)
 
 
 @partial(jax.jit, static_argnames=("key",))
@@ -516,6 +607,25 @@ class PlannedGather:
             return None
         nb, R = plan.n_blocks, plan.block_rows
         G = R * W // LANE
+        # UNIT plan: every real weight is exactly 1.0 (assembly reductions,
+        # ChainedGather stage-2 sums, compact pre-gathers) — drop the
+        # (nb, G, LANE) f32 weights entirely and mark padding with the
+        # _UNIT_PAD sentinel index instead (the sweep's row-match select
+        # zeroes it).  Halves the plan's HBM footprint and saves a vector
+        # multiply per tile; the 8.7 GB window-assembly plan at 1.9M nodes
+        # OOM'd HBM by 1.28 GB without this (measured 2026-08-19).
+        if real.any() and bool(np.all(w_np[real] == 1.0)):
+            m = np.zeros((nb * R, W), bool)
+            m[:n] = real
+            lc = np.asarray(plan.lcols).reshape(nb, R * W).copy()
+            lc[~m.reshape(nb, R * W)] = _UNIT_PAD
+            return PlannedGather(
+                vals_tiled=None,
+                lcols=jnp.asarray(lc.reshape(nb, G, LANE)),
+                lo=jnp.asarray(plan.lo),
+                key=(G, plan.slot_rows, nb),
+                n_rows=n, width=W, need_rows=plan.need_rows,
+            )
         wt = w_np
         if nb * R != n:
             wt = np.concatenate([wt, np.zeros((nb * R - n, W), np.float32)])
@@ -553,7 +663,11 @@ class PlannedGather:
         need = self.need_rows * LANE
         n_t = -(-max(tp.shape[0], need) // LANE) * LANE
         tp = jnp.pad(tp, (0, n_t - tp.shape[0])).reshape(n_t // LANE, LANE)
-        prods = _products(self.vals_tiled, self.lcols, self.lo, tp, self.key)
+        if self.vals_tiled is None:
+            prods = _products_unit(self.lcols, self.lo, tp, self.key)
+        else:
+            prods = _products(self.vals_tiled, self.lcols, self.lo, tp,
+                              self.key)
         out = self._row_sums(prods, nb, R)[: self.n_rows]
         return out.astype(table.dtype)
 
@@ -594,14 +708,20 @@ class PlannedGather:
         n_t = -(-max(tp.shape[1], need) // LANE) * LANE
         tp = jnp.pad(tp, ((0, 0), (0, n_t - tp.shape[1])))
         tp = tp.reshape(B, n_t // LANE, LANE)
-        prods = _products_b(self.vals_tiled, self.lcols, self.lo, tp,
-                            self.key)  # (nb, B, G, LANE)
+        if self.vals_tiled is None:
+            prods = _products_b_unit(self.lcols, self.lo, tp, self.key)
+        else:
+            prods = _products_b(self.vals_tiled, self.lcols, self.lo, tp,
+                                self.key)  # (nb, B, G, LANE)
         out = prods.transpose(1, 0, 2, 3).reshape(B, nb * R, self.width)
         return out.sum(axis=2)[:, : self.n_rows].astype(tables.dtype)
 
     def with_weights_dtype(self, dtype) -> "PlannedGather":
         """Same plan, weights cast (bf16 halves the weight stream; kernel
-        accumulation stays f32 — preconditioner-rate-only precision)."""
+        accumulation stays f32 — preconditioner-rate-only precision).
+        Unit plans carry no weights — nothing to cast."""
+        if self.vals_tiled is None:
+            return self
         return PlannedGather(
             self.vals_tiled.astype(dtype), self.lcols, self.lo,
             self.key, self.n_rows, self.width, self.need_rows,

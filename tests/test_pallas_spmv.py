@@ -230,7 +230,17 @@ def _emulate_planned(g, table):
     tp = tp.reshape(-1, LANE)
     lcols = np.asarray(g.lcols)
     lo = np.asarray(g.lo)
-    vals = np.asarray(g.vals_tiled)
+    # unit plans: no weights array; padding rides the _UNIT_PAD sentinel
+    # (its window row never matches a sweep row -> exact 0 contribution)
+    from arcanefem_tpu.sparse.pallas_spmv import _UNIT_PAD
+
+    pad = lcols >= int(_UNIT_PAD)
+    lcols = np.where(pad, 0, lcols)
+    if g.vals_tiled is None:
+        vals = np.where(pad, 0.0, 1.0).astype(np.float32)
+    else:
+        vals = np.asarray(g.vals_tiled, np.float32)
+        assert not pad.any(), "sentinel in a weighted plan"
     vrow, lane = lcols >> 7, lcols & (LANE - 1)
     s = np.searchsorted(offs, vrow, side="right") - 1
     src = lo[np.arange(nb)[:, None, None], s] + vrow - offs[s]
