@@ -8,12 +8,14 @@ timing + per-phase solve timers; BASELINE.md's sphere_cut recipe):
    north-star geometry, meshes/med/sphere_cut.py rebuilt as a BCC-lattice
    filtered Delaunay + red refinement, mesh/unstructured.py): BELL
    segment-sum assembly + SA-AMG-preconditioned CG (solver/amg.py, the
-   BoomerAMG role) with the window-kernel fine operator on the supernode
-   brick+RCM node ordering (both measured champions on v5e 2026-08-19;
-   BENCH_UNSTR_SPMV=supernode|compact and BENCH_UNSTR_ORDER=rcm select
-   alternatives).  Default ~1.9M DoF (BENCH_UNSTR_H /
-   BENCH_UNSTR_REFINE scale it; h=6 refine=3 reaches ~8.9M).  Measured
-   at 1.9M on v5e: 24 chebyshev iterations, 400 ms/iter.
+   BoomerAMG role) with the compact two-stage column-compaction window
+   SpMV on the supernode brick+RCM node ordering (both measured champions
+   on v5e 2026-08-19: 71 ms/iter vs the plain window sweep's 366 and
+   supernode's 666; BENCH_UNSTR_SPMV=window|supernode and
+   BENCH_UNSTR_ORDER=rcm select alternatives).  Default ~1.9M DoF
+   (BENCH_UNSTR_H / BENCH_UNSTR_REFINE scale it; h=6 refine=3 reaches
+   ~8.9M).  Measured at 1.9M on v5e: 4.07s end-to-end — 2.31s segsum
+   assembly + 1.71s solve (24 chebyshev iterations).
    AMG setup (host, scipy) is timed separately — the analogue of the
    reference's HypreSetup timer (HypreDoFLinearSystem.cc:730).
 2. SECONDARY — structured Kuhn-tet box at 11.4M DoF: stencil DIA
@@ -374,14 +376,14 @@ def bench_unstructured() -> dict:
     log(f"[unstr] mesh {mesh.n_nodes:,} nodes / {mesh.n_cells:,} tets "
         f"({time.time()-t0:.1f}s)")
 
-    # supernode operator is the default (guarded by an on-device parity
-    # self-check below); BENCH_UNSTR_SPMV=window keeps the scalar kernel,
-    # =compact opts into the two-stage column-compaction sweep (6.1x fewer
-    # lane-ops on the 2.1M plan model, sparse/pallas_spmv.CompactBellSpmv)
-    # window is the measured champion at 1.9M (400 ms/iter vs supernode's
-    # 666, and supernode's big-kernel programs die on remote-compile 413s
-    # 2/3 runs); BENCH_UNSTR_SPMV=supernode opts back in
-    spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "window")
+    # compact two-stage column-compaction SpMV is the default — measured
+    # champion at 1.9M (2026-08-19): solve 1.71s / 71 ms/iter / SpMV
+    # 13.6ms vs the plain window sweep's 8.8s / 366 ms/iter / 58ms and
+    # supernode's 666 ms/iter (also 413-fragile).  Its windows cover each
+    # block's DISTINCT columns (~N-linear) instead of the RCM-bandwidth
+    # span (~N^{5/3}), so the margin grows with size.
+    # BENCH_UNSTR_SPMV=window|supernode opt back into the alternatives.
+    spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "compact")
     supernode = spmv_mode == "supernode"
     if spmv_mode == "compact":
         # read by _cached_spmv AND build_amg (level operators + transfers)
