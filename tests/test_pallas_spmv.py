@@ -533,3 +533,40 @@ def test_build_compact_wide_rows_linear_map():
     y = _emulate(g, x)
     ref = (w * x[cols]).sum(axis=1)
     np.testing.assert_allclose(y, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_unit_plan_auto_detection():
+    """All-ones real weights -> unit plan (vals_tiled None, sentinel pads);
+    any non-1.0 weight keeps the weighted form.  Both emulate to the same
+    linear map as the dense reference."""
+    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather, PlannedGather
+
+    rng = np.random.RandomState(7)
+    n, W = 2000, 8
+    cols = (np.arange(n)[:, None] * 3 + rng.randint(0, 40, (n, W))) % (3 * n)
+    w = np.ones((n, W), np.float32)
+    w[rng.rand(n, W) < 0.3] = 0.0  # padding entries
+    g = PlannedGather.build(cols, w)
+    assert g is not None and not isinstance(g, ChainedGather)
+    assert g.vals_tiled is None, "all-ones weights should build a unit plan"
+    # padding entries carry the sentinel (never matched by the sweep)
+    from arcanefem_tpu.sparse.pallas_spmv import _UNIT_PAD
+
+    n_pad_entries = int((np.asarray(g.lcols) >= int(_UNIT_PAD)).sum())
+    assert n_pad_entries >= int((w == 0).sum())
+    table = rng.rand(3 * n).astype(np.float32)
+    np.testing.assert_allclose(
+        _emulate(g, table), (w * table[cols]).sum(axis=1),
+        rtol=2e-5, atol=1e-5,
+    )
+    # with_weights_dtype is a no-op on unit plans
+    assert g.with_weights_dtype(np.float16) is g
+
+    w2 = w.copy()
+    w2[0, 0] = 2.0
+    g2 = PlannedGather.build(cols, w2)
+    assert g2.vals_tiled is not None
+    np.testing.assert_allclose(
+        _emulate(g2, table), (w2 * table[cols]).sum(axis=1),
+        rtol=2e-5, atol=1e-5,
+    )
