@@ -38,6 +38,8 @@ two-rep-count slope to cancel fetch latency.
 
 from __future__ import annotations
 
+from arcanefem_tpu.utils.cache import CACHE_DIR
+
 import json
 import os
 import sys
@@ -406,7 +408,7 @@ def bench_unstructured() -> dict:
         from arcanefem_tpu.utils.ordering import renumber_mesh
 
         t0 = time.time()
-        snpath = os.path.join("/tmp/afem_meshes", key + "_snmesh.npz")
+        snpath = os.path.join(CACHE_DIR, key + "_snmesh.npz")
         if os.path.exists(snpath):
             z = np.load(snpath)
             mesh = Mesh(
@@ -449,7 +451,7 @@ def bench_unstructured() -> dict:
         # the window-reducer plan costs ~11 min of host numpy at 1.9M;
         # segsum's (~50s) is not worth the multi-GB pickle round-trip
         asm, _ = _pickle_cache(
-            os.path.join("/tmp/afem_meshes",
+            os.path.join(CACHE_DIR,
                          f"asmplan_{key}_{asm_mode}_{platform}_v1.pkl"),
             lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"]),
             f"assembler plan ({asm_mode})",
@@ -538,7 +540,7 @@ def bench_unstructured() -> dict:
     amg_cycle = os.environ.get("BENCH_AMG_CYCLE", "V")
     amg_compact = os.environ.get("AFEM_SPMV") == "compact"
     amg_path = os.path.join(
-        "/tmp/afem_meshes",
+        CACHE_DIR,
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
         f"_t{amg_theta:g}_{platform}_p{penalty:g}"
         f"{'_compact' if amg_compact else ''}_v2.pkl",
@@ -586,7 +588,7 @@ def bench_unstructured() -> dict:
             if supernode:
                 sn, _sn_cached = _pickle_cache(
                     os.path.join(
-                        "/tmp/afem_meshes",
+                        CACHE_DIR,
                         f"snplan_{key}_{platform}_p{penalty:g}_v1.pkl",
                     ),
                     lambda: SupernodeSpmv.build(A),
@@ -763,7 +765,7 @@ def _load_topology(mesh, key: str):
     timed separately too, BSRFormat::computeSparsity)."""
     from arcanefem_tpu.sparse.topology import Topology, build_topology
 
-    cache_dir = "/tmp/afem_meshes"
+    cache_dir = CACHE_DIR
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"topo_{key}.npz")
     if os.path.exists(path):
@@ -795,7 +797,7 @@ def _load_sphere_cut(h: float, refine: int):
     from arcanefem_tpu.sparse.topology import build_topology
     from arcanefem_tpu.utils.ordering import rcm_order, renumber_mesh
 
-    cache_dir = "/tmp/afem_meshes"
+    cache_dir = CACHE_DIR
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"sphere_cut_v3_h{h:g}_r{refine}.npz")
     if os.path.exists(path):

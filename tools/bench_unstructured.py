@@ -16,8 +16,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from arcanefem_tpu.utils.cache import CACHE_DIR
 
-def load_mesh(h: float, refine: int, cache_dir="/tmp/afem_meshes"):
+
+def load_mesh(h: float, refine: int, cache_dir=CACHE_DIR):
     os.makedirs(cache_dir, exist_ok=True)
     tag = f"sphere_cut_v2_h{h:g}_r{refine}"  # v2: BCC lattice + adaptive-diagonal refinement
     path = os.path.join(cache_dir, tag + ".npz")

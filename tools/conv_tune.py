@@ -34,6 +34,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from arcanefem_tpu.utils.cache import CACHE_DIR
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -183,7 +185,7 @@ def run_config(A, b, x0, key, name, rtol, max_iter, bf16=False,
     cfg_key = "_".join(f"{k}-{v}" for k, v in sorted(structural.items()))
     dt = np.dtype(np.asarray(A.values).dtype).name  # hierarchy dtype
     # v2: rho_est Lanczos+Gershgorin fix changes every hierarchy
-    path = f"/tmp/afem_meshes/tune2_{key}_{dt}_{cfg_key}.pkl"
+    path = f"{CACHE_DIR}/tune2_{key}_{dt}_{cfg_key}.pkl"
     t0 = time.time()
     if os.path.exists(path):
         with open(path, "rb") as f:

@@ -30,6 +30,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from arcanefem_tpu.utils.cache import CACHE_DIR
+
 
 def main():
     import bench  # reuse the bench loaders/caches; import has no side effects
@@ -59,7 +61,7 @@ def main():
     if spmv_mode == "compact":
         os.environ["AFEM_SPMV"] = "compact"
     if os.environ.get("BENCH_UNSTR_ORDER", "sn") != "rcm":
-        snpath = os.path.join("/tmp/afem_meshes", key + "_snmesh.npz")
+        snpath = os.path.join(CACHE_DIR, key + "_snmesh.npz")
         if os.path.exists(snpath):
             z = np.load(snpath)
             mesh = Mesh(coords=z["coords"], node_uids=z["uids"],
@@ -97,7 +99,7 @@ def main():
     amg_theta = float(os.environ.get("BENCH_AMG_THETA", "0.03"))
     amg_compact = os.environ.get("AFEM_SPMV") == "compact"
     amg_path = os.path.join(
-        "/tmp/afem_meshes",
+        CACHE_DIR,
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
         f"_t{amg_theta:g}_tpu_p{penalty:g}"
         f"{'_compact' if amg_compact else ''}_v2.pkl")
