@@ -39,8 +39,9 @@ class TetraLaneAssembler:
                  reduce: str | None = None):
         """reduce: "segsum" (XLA scatter, ~0.07 Gelem/s on v5e) or
         "window" (SortedEntryAssembler split window gather); default from
-        AFEM_UNSTR_ASM, falling back to segsum until the window path is
-        measured on hardware."""
+        AFEM_UNSTR_ASM.  Measured v5e @1.9M sphere_cut: window 1.69s vs
+        segsum 2.36s (q6_asmwin), so window is the TPU default; CPU keeps
+        segsum (no Mosaic plans off-TPU)."""
         import os
 
         self.topo = topo
@@ -57,7 +58,8 @@ class TetraLaneAssembler:
                 cols, np.ones((4 * nc, 1), np.float32), wcap=0
             )
         if reduce is None:
-            reduce = os.environ.get("AFEM_UNSTR_ASM", "segsum")
+            reduce = os.environ.get(
+                "AFEM_UNSTR_ASM", "window" if on_tpu else "segsum")
         self.reducer_kind = "segsum"
         if reduce == "window" and on_tpu:
             from ..sparse.pallas_assembly import Q2P16, SortedEntryAssembler

@@ -446,7 +446,10 @@ def bench_unstructured() -> dict:
     n, W = topo.n_nodes, topo.width
 
     t0 = time.time()
-    asm_mode = os.environ.get("AFEM_UNSTR_ASM", "segsum")
+    # window-gather assembly is the measured default (v5e, 1.9M sphere_cut:
+    # 1.69s vs segsum's 2.36s -> total 3.40s vs 4.06s); AFEM_UNSTR_ASM=segsum
+    # restores the scatter baseline for A/Bs.
+    asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window" if on_tpu else "segsum")
     if asm_mode != "segsum":
         # the window-reducer plan costs ~11 min of host numpy at 1.9M;
         # segsum's (~50s) is not worth the multi-GB pickle round-trip
