@@ -50,12 +50,20 @@ class TetraLaneAssembler:
         self.gather = None
         self.reducer = None
         on_tpu = jax.devices()[0].platform == "tpu"
+        # AFEM_ASM_COMPACT=1: per-block distinct-source pre-gather for BOTH
+        # assembly sweeps (coords + reducer) — the direct sweeps re-stream
+        # each coord ~cells-per-node times and pay span-sized reducer
+        # windows; compaction is the same ~6x lane-op cut the SpMV took
+        # (CompactBellSpmv).  Off by default until measured on hardware.
+        compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
+        self.compact = compact
         if on_tpu:
             from ..sparse.pallas_spmv import PlannedGather
 
             cols = np.asarray(conn, np.int64).reshape(-1, 1)  # (4nc, 1)
             self.gather = PlannedGather.build(
-                cols, np.ones((4 * nc, 1), np.float32), wcap=0
+                cols, np.ones((4 * nc, 1), np.float32), wcap=0,
+                compact=compact,
             )
         if reduce is None:
             reduce = os.environ.get(
@@ -71,7 +79,8 @@ class TetraLaneAssembler:
             # meshes; 3D falls through (ROADMAP "scatter tax").
             e = np.arange(16 * nc, dtype=np.int64)
             entry_map = (e // 16) * 10 + Q2P16[e % 16]
-            sea = SortedEntryAssembler(topo, entry_map=entry_map)
+            sea = SortedEntryAssembler(topo, entry_map=entry_map,
+                                       compact=compact)
             if sea.available:
                 self.reducer = sea.plan
                 self.reducer_kind = "window"

@@ -238,12 +238,20 @@ class SortedEntryAssembler:
 
     def __init__(self, topo: Topology, wcap: int = 8,
                  max_window: int = 128 * 1024,
-                 entry_map: np.ndarray | None = None):
+                 entry_map: np.ndarray | None = None,
+                 compact: bool = False):
         """entry_map: optional (E,) remap of global entry ids into the
         table the caller will pass to __call__ — e.g. the symmetric
         packing that redirects lower-triangle ke entries at their upper
         twins (ke is symmetric), shrinking the table (and the windows)
-        by 6/16 for tetra."""
+        by 6/16 for tetra.
+
+        compact: apply the same per-block distinct-column pre-gather the
+        fast SpMV uses (CompactBellSpmv) — the direct sweep pays
+        span-sized windows per subrow block (each cell-major source band
+        is re-streamed for every block that touches it), while the
+        compact form streams each block's DISTINCT sources once and
+        sweeps uniq-sized windows."""
         self.topo = topo
         slots = np.concatenate(
             [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
@@ -254,7 +262,7 @@ class SortedEntryAssembler:
         np.cumsum(counts, out=ptr[1:])
         indices = order if entry_map is None else entry_map[order]
         self.plan = PlannedGather.build_csr(
-            indices, ptr, wcap=wcap, max_window=max_window
+            indices, ptr, wcap=wcap, max_window=max_window, compact=compact
         )
 
     @property

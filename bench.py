@@ -450,15 +450,18 @@ def bench_unstructured() -> dict:
     # 1.69s vs segsum's 2.36s -> total 3.40s vs 4.06s); AFEM_UNSTR_ASM=segsum
     # restores the scatter baseline for A/Bs.
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window" if on_tpu else "segsum")
+    asm_compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
     if asm_mode != "segsum":
         # the window-reducer plan costs ~11 min of host numpy at 1.9M;
         # segsum's (~50s) is not worth the multi-GB pickle round-trip
+        suffix = "_c" if asm_compact else ""
         asm, _ = _pickle_cache(
             os.path.join(CACHE_DIR,
-                         f"asmplan_{key}_{asm_mode}_{platform}_v1.pkl"),
+                         f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v1.pkl"),
             lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"]),
-            f"assembler plan ({asm_mode})",
-            validate=lambda a: a.reducer_kind == asm_mode,
+            f"assembler plan ({asm_mode}{suffix})",
+            validate=lambda a: (a.reducer_kind == asm_mode
+                                and getattr(a, "compact", False) == asm_compact),
         )
     else:
         asm = TetraLaneAssembler(topo, mesh.cells["tetra4"])
@@ -751,6 +754,8 @@ def bench_unstructured() -> dict:
             getattr(Ap, "gather", None)
         ).__name__,
         "amg_compact": amg_compact,
+        "asm_mode": asm.reducer_kind,
+        "asm_compact": getattr(asm, "compact", False),
         "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
         "amg_cycle": amg_cycle,
         "vcycle_bf16": vcycle_bf16,

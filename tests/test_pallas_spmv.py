@@ -570,3 +570,55 @@ def test_unit_plan_auto_detection():
         _emulate(g2, table), (w2 * table[cols]).sum(axis=1),
         rtol=2e-5, atol=1e-5,
     )
+
+
+def test_sorted_entry_assembler_compact_matches_segment_sum():
+    """compact=True (per-block distinct-source pre-gather, the SpMV
+    compaction applied to assembly) emulates to the same reduction as
+    segment_sum, and actually engages (stage1 is itself a ChainedGather)."""
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.sparse.pallas_assembly import SortedEntryAssembler
+    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather
+
+    mesh = box_tetra_mesh(7, 6, 5)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    mesh = renumber_mesh(
+        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
+    )
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    sea = SortedEntryAssembler(topo, compact=True)
+    assert sea.available
+    assert isinstance(sea.plan, ChainedGather)
+    assert isinstance(sea.plan.stage1, ChainedGather), (
+        "compaction should engage: stage1 = pre-gather + uniq-window sweep"
+    )
+    rng = np.random.RandomState(4)
+    E = sum(m.size for m in topo.slot_maps.values())
+    ke = rng.rand(E).astype(np.float32)
+    slots = np.concatenate(
+        [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
+    )
+    want = np.zeros(topo.n_slots, np.float64)
+    np.add.at(want, slots, ke)
+    got = _emulate(sea.plan, ke)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-5)
+
+
+def test_planned_gather_compact_w1_unit():
+    """W=1 unit-weight compact plan (the assembly coords gather shape):
+    pre-gather + uniq-window main sweep == plain table[cols]."""
+    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather, PlannedGather
+
+    rng = np.random.RandomState(3)
+    n_nodes, m = 5000, 40000
+    # connectivity-like pattern: slowly advancing band + jitter
+    cols = (np.linspace(0, n_nodes - 50, m).astype(np.int64)
+            + rng.randint(0, 50, m))[:, None]
+    g = PlannedGather.build(
+        cols, np.ones((m, 1), np.float32), wcap=0, compact=True
+    )
+    assert isinstance(g, ChainedGather), "compaction should engage"
+    table = rng.rand(n_nodes).astype(np.float32)
+    np.testing.assert_allclose(
+        _emulate(g, table), table[cols[:, 0]], rtol=2e-5, atol=1e-5
+    )
