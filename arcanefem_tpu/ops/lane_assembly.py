@@ -100,12 +100,21 @@ class TetraLaneAssembler:
             print(f"lane_assembly: reduce={reduce!r} unavailable on this "
                   "mesh/platform; FALLING BACK to segment_sum",
                   file=sys.stderr, flush=True)
-        # lane-major entry order: e = (i*4+j)*nc + c
-        sm = np.asarray(topo.slot_maps["tetra4"])  # (nc, 16), cell-major
-        self.slot_map_t = jnp.asarray(
-            np.ascontiguousarray(sm.T).reshape(-1)
-        )
-        self.conn_dev = jnp.asarray(np.asarray(conn, np.int32).T)  # (4, nc)
+        # lane-major entry order: e = (i*4+j)*nc + c.  Only the segsum
+        # fallback consumes the slot map — with a window reducer it would
+        # be 16·nc i64 of DEAD device weight (1.4 GB at 1.9M nodes, 7 GB
+        # at 8.9M: enough to OOM the 10M arm) and the same again in the
+        # plan pickle + tunnel transfer on every cache load.
+        if self.reducer is None:
+            sm = np.asarray(topo.slot_maps["tetra4"])  # (nc, 16), cell-major
+            self.slot_map_t = jnp.asarray(
+                np.ascontiguousarray(sm.T).reshape(-1)
+            )
+        else:
+            self.slot_map_t = None
+        # coords fallback when no window plan exists for the gather
+        self.conn_dev = (None if self.gather is not None
+                         else jnp.asarray(np.asarray(conn, np.int32).T))
 
     @property
     def available(self) -> bool:

@@ -38,10 +38,22 @@ run() {  # run <name> <timeout_s> <cmd...>
   fi
 }
 
+# 0. slim the 1.9M assembler pickle (drops 1.4 GB of segsum-only device
+#    weight written before the lazy slot_map_t fix; CPU-only, no tunnel)
+run q8_strip 1800 python tools/strip_asm_pickle.py
+
 run q8_phases 3600 python tools/probe_asm_phases.py
 run q8_phases_c 7200 python tools/probe_asm_phases.py --compact
 run q8_compact 5400 BENCH_BOX=0 AFEM_ASM_COMPACT=1 python bench.py
+# iteration levers never yet measured on TPU: W-cycle shares the V-cycle
+# hierarchy cache (cycle is applied post-load), so this arm is warm
+run q8_wcycle 5400 BENCH_BOX=0 BENCH_AMG_CYCLE=W python bench.py
 run q8_pytest 3600 python -m pytest tests/ -x -q
 run q8_dryrun 3600 python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
+# 10M iteration-scaling arms (reuse q7_10m mesh/topo/plan caches): the
+# V-cycle loses iteration scaling at 8.9M (CPU tuner: 21 -> 55 iters);
+# W-cycle and stronger coarse smoothing are the two candidate fixes
+run q8_10m_w 10800 BENCH_UNSTR_H=6 BENCH_UNSTR_REFINE=3 BENCH_BOX=0 BENCH_AMG_CYCLE=W python bench.py
+run q8_10m_c24 10800 BENCH_UNSTR_H=6 BENCH_UNSTR_REFINE=3 BENCH_BOX=0 BENCH_AMG_CHEB_DEG=2,4 python bench.py
 
 echo "== stage-8 done: results in $OUT =="
