@@ -107,8 +107,11 @@ class TetraLaneAssembler:
         # plan pickle + tunnel transfer on every cache load.
         if self.reducer is None:
             sm = np.asarray(topo.slot_maps["tetra4"])  # (nc, 16), cell-major
+            # i32 halves the map (3.3 GB at 8.9M); n_slots = N·W < 2^31
+            # for every mesh a single chip can hold
+            smdt = np.int32 if topo.n_slots < 2**31 else np.int64
             self.slot_map_t = jnp.asarray(
-                np.ascontiguousarray(sm.T).reshape(-1)
+                np.ascontiguousarray(sm.T.astype(smdt)).reshape(-1)
             )
         else:
             self.slot_map_t = None
