@@ -844,7 +844,10 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
     dense (n, K) cols/weights — at assembly scale (n_slots=38M, K≈30 on
     the 2.1M sphere_cut) the dense form alone is ~9 GB."""
     rows = np.repeat(np.arange(n), deg)
-    nsub = np.maximum(1, -(-deg // wcap))
+    # deg==0 rows (BELL pad slots: 19M of 51M subrows at the 1.9M
+    # assembly, 37% of the stage-1 sweep) get NO subrow — stage2's
+    # empty-row handling (zero-weight pads) already yields exact zeros
+    nsub = -(-deg // wcap)
     total = int(nsub.sum())
     sub_start = np.concatenate([[0], np.cumsum(nsub)])
     ent_start = np.concatenate([[0], np.cumsum(deg)])
@@ -872,7 +875,7 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
                                      wcap=0)
     if stage1 is None:
         return None
-    W2 = int(nsub.max())
+    W2 = max(1, int(nsub.max(initial=0)))
     # round W2 up to a divisor of 128 so the row-sum stays the fused MXU
     # contraction (_row_sums): a non-divisor width falls back to the
     # padded-relayout reduce, which is a 24 GB HBM bomb at 47M rows
