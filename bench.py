@@ -457,7 +457,7 @@ def bench_unstructured() -> dict:
         suffix = "_c" if asm_compact else ""
         asm, _ = _pickle_cache(
             os.path.join(CACHE_DIR,
-                         f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v1.pkl"),
+                         f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v2.pkl"),
             lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"]),
             f"assembler plan ({asm_mode}{suffix})",
             validate=lambda a: (a.reducer_kind == asm_mode

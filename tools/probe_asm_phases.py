@@ -96,7 +96,7 @@ def main():
 
     suffix = "_c" if args.compact else ""
     asm, _ = _pickle_cache(
-        os.path.join(CACHE_DIR, f"asmplan_{key}_window{suffix}_tpu_v1.pkl"),
+        os.path.join(CACHE_DIR, f"asmplan_{key}_window{suffix}_tpu_v2.pkl"),
         lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"],
                                    reduce="window"),
         f"assembler plan (window{suffix})",

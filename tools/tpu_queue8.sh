@@ -38,11 +38,11 @@ run() {  # run <name> <timeout_s> <cmd...>
   fi
 }
 
-# 0. slim the 1.9M assembler pickle (drops 1.4 GB of segsum-only device
-#    weight written before the lazy slot_map_t fix; CPU-only, no tunnel)
-run q8_strip 1800 python tools/strip_asm_pickle.py
+# 0. v1 assembler pickles are superseded by the slim v2 builds (lazy
+#    slot_map_t + no empty subrows); free the 5.4 GB
+rm -f "$(dirname "$0")/../.cache/afem_meshes"/asmplan_*_v1.pkl
 
-run q8_phases 3600 python tools/probe_asm_phases.py
+run q8_phases 7200 python tools/probe_asm_phases.py
 run q8_phases_c 7200 python tools/probe_asm_phases.py --compact
 run q8_compact 5400 BENCH_BOX=0 AFEM_ASM_COMPACT=1 python bench.py
 # iteration levers never yet measured on TPU: W-cycle shares the V-cycle
