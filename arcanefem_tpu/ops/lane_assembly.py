@@ -128,8 +128,17 @@ class TetraLaneAssembler:
 
 
 def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
-                   nc, n, W, n_slots, reducer_kind="segsum"):
-    if gather is not None:
+                   nc, n, W, n_slots, reducer_kind="segsum",
+                   coords_batched=False):
+    if gather is not None and coords_batched:
+        # one kernel over a (3, n) table stack — the plan arrays stay
+        # resident across the x/y/z channels instead of re-streaming
+        # (AFEM_ASM_COORDS=batched; A/B'd by tools/probe_asm_phases.py)
+        g3 = gather.call_batched(coords.T)  # (3, 4nc)
+        xg = g3[0].reshape(nc, 4).T
+        yg = g3[1].reshape(nc, 4).T
+        zg = g3[2].reshape(nc, 4).T
+    elif gather is not None:
         xg = gather(coords[:, 0]).reshape(nc, 4).T
         yg = gather(coords[:, 1]).reshape(nc, 4).T
         zg = gather(coords[:, 2]).reshape(nc, 4).T
@@ -196,7 +205,8 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
 def _lane_assemble_jit():
     return jax.jit(
         _assemble_impl,
-        static_argnames=("nc", "n", "W", "n_slots", "reducer_kind"),
+        static_argnames=("nc", "n", "W", "n_slots", "reducer_kind",
+                         "coords_batched"),
     )
 
 
@@ -208,8 +218,11 @@ def lane_assemble(asm: TetraLaneAssembler, coords: jnp.ndarray):
     if _jitted is None:
         _jitted = _lane_assemble_jit()
     t = asm.topo
+    import os
+
     return _jitted(
         coords.astype(jnp.float32), asm.conn_dev, asm.slot_map_t,
         asm.gather, asm.reducer, nc=asm.n_cells, n=t.n_nodes, W=t.width,
         n_slots=t.n_slots, reducer_kind=asm.reducer_kind,
+        coords_batched=os.environ.get("AFEM_ASM_COORDS") == "batched",
     )
