@@ -844,10 +844,17 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
     dense (n, K) cols/weights — at assembly scale (n_slots=38M, K≈30 on
     the 2.1M sphere_cut) the dense form alone is ~9 GB."""
     rows = np.repeat(np.arange(n), deg)
-    # deg==0 rows (BELL pad slots: 19M of 51M subrows at the 1.9M
-    # assembly, 37% of the stage-1 sweep) get NO subrow — stage2's
-    # empty-row handling (zero-weight pads) already yields exact zeros
     nsub = -(-deg // wcap)
+    if not compact:
+        # span-bound (non-compact) sweeps: deg==0 rows KEEP a padding
+        # subrow.  Dropping them does not cut sweep work (sum of window
+        # rows is invariant — fewer blocks x proportionally wider spans)
+        # but DOES widen each block's source span past max_window at 3D
+        # scale (measured: the 1.9M window-assembly plan stopped building,
+        # q7_jacobi 2026-08-19).  Compact sweeps window the per-block
+        # DISTINCT sources instead, so there the empty subrows are pure
+        # waste (19M of 51M stage-1 subrows at 1.9M) and are dropped.
+        nsub = np.maximum(1, nsub)
     total = int(nsub.sum())
     sub_start = np.concatenate([[0], np.cumsum(nsub)])
     ent_start = np.concatenate([[0], np.cumsum(deg)])
@@ -870,7 +877,12 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
             main = PlannedGather.build(s_cols2, s_w, R1, max_window, wcap=0)
             if main is not None:
                 stage1 = ChainedGather(pre, main, total)
-    if stage1 is None:
+        if stage1 is None:
+            # the subrow layout above dropped empty rows (compact-only
+            # optimization); rebuild in the padded non-compact form
+            return _build_split_compact(ccols, cvals, deg, n, block_rows,
+                                        max_window, wcap, compact=False)
+    else:
         stage1 = PlannedGather.build(s_cols, s_w, block_rows, max_window,
                                      wcap=0)
     if stage1 is None:
