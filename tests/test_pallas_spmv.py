@@ -622,3 +622,40 @@ def test_planned_gather_compact_w1_unit():
     np.testing.assert_allclose(
         _emulate(g, table), table[cols[:, 0]], rtol=2e-5, atol=1e-5
     )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU"
+)
+def test_lane_assembler_compact_batched_matches_segsum_on_tpu(monkeypatch):
+    """Compact assembly plans + batched coords gather on hardware ==
+    segment_sum (the AFEM_ASM_COMPACT / AFEM_ASM_COORDS A/B surface)."""
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.mesh.generate import box_tetra_mesh
+    from arcanefem_tpu.ops.lane_assembly import TetraLaneAssembler
+    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather
+
+    mesh = box_tetra_mesh(12, 11, 10)
+    t0 = build_topology(mesh.n_nodes, mesh.cells)
+    mesh = renumber_mesh(
+        mesh, rcm_order(mesh.n_nodes, t0.row_ptr, t0.csr_cols)
+    )
+    topo = build_topology(mesh.n_nodes, mesh.cells, pad_width_to=8)
+    conn = mesh.cells["tetra4"]
+    coords = jnp.asarray(mesh.coords.astype(np.float32))
+    v1 = np.asarray(TetraLaneAssembler(topo, conn, reduce="segsum")(coords))
+
+    monkeypatch.setenv("AFEM_ASM_COMPACT", "1")
+    a_c = TetraLaneAssembler(topo, conn, reduce="window")
+    assert a_c.reducer is not None and a_c.compact
+    assert isinstance(a_c.reducer, ChainedGather)
+    assert isinstance(a_c.reducer.stage1, ChainedGather), (
+        "compaction should engage on this mesh"
+    )
+    v2 = np.asarray(a_c(coords))
+    np.testing.assert_allclose(v2, v1, rtol=3e-5, atol=1e-6)
+
+    monkeypatch.setenv("AFEM_ASM_COORDS", "batched")
+    v3 = np.asarray(a_c(coords))
+    np.testing.assert_allclose(v3, v1, rtol=3e-5, atol=1e-6)
