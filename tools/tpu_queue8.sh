@@ -45,9 +45,16 @@ rm -f "$(dirname "$0")/../.cache/afem_meshes"/asmplan_*_v1.pkl
 run q8_phases 7200 python tools/probe_asm_phases.py
 run q8_phases_c 7200 python tools/probe_asm_phases.py --compact
 run q8_compact 5400 BENCH_BOX=0 AFEM_ASM_COMPACT=1 python bench.py
-# iteration levers never yet measured on TPU: W-cycle shares the V-cycle
-# hierarchy cache (cycle is applied post-load), so this arm is warm
+# iteration levers never yet measured on TPU.  q7 data: cheb2 24 it x
+# 71 ms = jacobi 37 it x 45.5 ms = 1.7s — the solve is fine-sweep-count
+# bound (~122 sweeps both ways); these arms attack the sweep COUNT.
+# W-cycle shares the V-cycle hierarchy cache (cycle applied post-load).
 run q8_wcycle 5400 BENCH_BOX=0 BENCH_AMG_CYCLE=W python bench.py
+# stronger smoothing on the cheap coarse levels only (fine stays cheb2)
+run q8_c24 5400 BENCH_BOX=0 BENCH_AMG_CHEB_DEG=2,4 python bench.py
+# on-TPU kernel parity incl. the new compact-assembly test (q7_tests may
+# have collected before it was committed)
+run q8_tputests 3600 AFEM_TEST_TPU=1 python -m pytest tests/test_pallas_spmv.py -q -k on_tpu
 run q8_pytest 3600 python -m pytest tests/ -x -q
 run q8_dryrun 3600 python -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"
 # 10M iteration-scaling arms (reuse q7_10m mesh/topo/plan caches): the
