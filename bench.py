@@ -451,6 +451,18 @@ def bench_unstructured() -> dict:
     # restores the scatter baseline for A/Bs.
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window" if on_tpu else "segsum")
     asm_compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
+    if asm_mode == "window":
+        # window-plan device footprint ~ stage-1 lcols (subrows*wcap i32)
+        # + ~25% stage-2: ~1.9 GB at 1.9M but ~11 GB at 8.9M — past the
+        # cap it cannot coexist with the AMG hierarchy in 16 GB HBM, so
+        # fall back to segsum instead of OOM-ing after the 1-2h host
+        # plan build (the BENCH_SN_MAX_GB discipline)
+        est_gb = (topo.n_slots + 2 * n) * 8 * 4 * 1.25 / 1e9
+        max_gb = float(os.environ.get("AFEM_ASM_MAX_GB", "6"))
+        if est_gb > max_gb:
+            log(f"[unstr] window-assembly plan ~{est_gb:.1f} GB > "
+                f"{max_gb:g} GB cap; keeping segsum assembly")
+            asm_mode = "segsum"
     if asm_mode != "segsum":
         # the window-reducer plan costs ~11 min of host numpy at 1.9M;
         # segsum's (~50s) is not worth the multi-GB pickle round-trip
