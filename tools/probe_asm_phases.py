@@ -169,6 +169,19 @@ def main():
     t2 = timed(lambda a, b, c: ke_flat(a, b, c), *xg)
     log(f"[probe] ke10 + transpose     {t2*1e3:9.1f} ms")
 
+    # same math, lane-major output (no cell-major transpose): the delta
+    # is the transpose cost a lane-major reducer entry_map would remove
+    @jax.jit
+    def ke_lane(xg, yg, zg):
+        return ke_flat.__wrapped__(xg, yg, zg).reshape(-1, 10).T
+
+    try:
+        t2b = timed(lambda a, b, c: ke_lane(a, b, c), *xg)
+        log(f"[probe] ke10 (lane-major)    {t2b*1e3:9.1f} ms"
+            f"  (transpose cost ~{(t2-t2b)*1e3:.1f} ms)")
+    except Exception as e:  # pragma: no cover - probe-only
+        log(f"[probe] ke10 (lane-major)    FAILED: {e}")
+
     # -- phase 3: reducer -----------------------------------------------------
     table = ke_flat(*xg)
     del xg
