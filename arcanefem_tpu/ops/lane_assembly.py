@@ -100,6 +100,29 @@ class TetraLaneAssembler:
             print(f"lane_assembly: reduce={reduce!r} unavailable on this "
                   "mesh/platform; FALLING BACK to segment_sum",
                   file=sys.stderr, flush=True)
+        if compact:
+            # self.compact must record whether compaction actually ENGAGED,
+            # not merely the request: PlannedGather.build/_build_split_compact
+            # silently degrade to non-compact plans, and a "_c" cache key /
+            # asm_compact:true bench line describing a non-compact plan
+            # corrupts the A/B (ADVICE r3).  Engaged = every requested plan
+            # is the chained (pre-gather) form.
+            from ..sparse.pallas_spmv import ChainedGather
+
+            engaged = True
+            if self.gather is not None and not isinstance(
+                    self.gather, ChainedGather):
+                engaged = False
+            if self.reducer is not None and not isinstance(
+                    getattr(self.reducer, "stage1", None), ChainedGather):
+                engaged = False
+            if not engaged:
+                import sys
+
+                print("lane_assembly: AFEM_ASM_COMPACT=1 requested but the "
+                      "compact pre-gather DEGRADED to a direct plan; "
+                      "recording compact=False", file=sys.stderr, flush=True)
+            self.compact = engaged
         # lane-major entry order: e = (i*4+j)*nc + c.  Only the segsum
         # fallback consumes the slot map — with a window reducer it would
         # be 16·nc i64 of DEAD device weight (1.4 GB at 1.9M nodes, 7 GB

@@ -15,9 +15,18 @@ import os
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CACHE_DIR = os.environ.get(
-    "AFEM_CACHE_DIR", os.path.join(_REPO_ROOT, ".cache", "afem_meshes"))
-os.makedirs(CACHE_DIR, exist_ok=True)
+
+def _default_cache_dir() -> str:
+    """Repo-local .cache when the tree is writable (the dev/driver case);
+    ~/.cache/afem otherwise (installed/site-packages or read-only checkout).
+    No import-time mkdir — cache_dir() creates lazily (ADVICE r3)."""
+    d = os.path.join(_REPO_ROOT, ".cache", "afem_meshes")
+    if os.path.isdir(d) or os.access(_REPO_ROOT, os.W_OK):
+        return d
+    return os.path.join(os.path.expanduser("~"), ".cache", "afem")
+
+
+CACHE_DIR = os.environ.get("AFEM_CACHE_DIR", _default_cache_dir())
 
 
 def cache_dir() -> str:

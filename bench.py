@@ -52,6 +52,108 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# --- wall-clock budget (VERDICT r3 #1) --------------------------------------
+# The driver kills the bench at ~30 min (BENCH_r03: rc=124, no JSON).  The
+# bench therefore imposes its OWN deadline: a watchdog thread prints the
+# best-known result JSON and exits before the driver's axe falls, and the
+# expensive setup phases degrade (window->segsum assembly) when the
+# remaining budget cannot fit them.  BENCH_BUDGET_S=0 disables.
+_T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+_RESULTS = {"primary": None, "secondary": None, "emitted": False}
+_EMIT_LOCK = None  # created lazily (threading import)
+
+
+def time_left() -> float:
+    """Seconds until the self-imposed deadline (inf when disabled)."""
+    if BUDGET_S <= 0:
+        return float("inf")
+    return BUDGET_S - (time.time() - _T0)
+
+
+def _final_json(primary, secondary) -> dict:
+    """Assemble the single output JSON from whatever completed."""
+    if primary is None:
+        primary = secondary
+        secondary = None
+    if primary is None:
+        return {
+            "metric": "none", "value": None, "unit": "s",
+            "vs_baseline": None,
+            "extra": {"error": "no benchmark completed in budget"},
+        }
+    extra = {k: v for k, v in primary.items() if k not in ("metric", "value")}
+    if secondary is not None:
+        extra["secondary_metric"] = secondary["metric"]
+        extra["secondary_value"] = secondary["value"]
+        extra["secondary_assembly_mdofs"] = secondary.get("assembly_mdofs")
+    # vs_baseline: the A100 roofline estimate of the reference's own GPU
+    # pipeline on this exact system (BASELINE.md "Reference-path roofline
+    # estimate"); >1 means the TPU build beats the estimate
+    vs = None
+    if "n_dofs" in primary and "nnz_stored" in primary:
+        ref_s = reference_roofline_estimate(
+            primary["n_dofs"], primary["nnz_stored"]
+        )
+        extra["baseline_kind"] = "a100-roofline-estimate"
+        extra["baseline_estimate_s"] = round(ref_s, 4)
+        if primary.get("platform") == "tpu":
+            vs = round(ref_s / primary["value"], 3)
+        else:
+            # a CPU fallback number is not comparable to the A100 roofline;
+            # label it loudly instead of emitting a misleading ratio
+            extra["platform"] = "cpu-fallback"
+    return {
+        "metric": primary["metric"],
+        "value": primary["value"],
+        "unit": "s",
+        "vs_baseline": vs,
+        "extra": extra,
+    }
+
+
+def _emit_final(tag: str = "") -> bool:
+    """Print the final JSON exactly once; returns False if nothing ran."""
+    import threading
+
+    global _EMIT_LOCK
+    if _EMIT_LOCK is None:
+        _EMIT_LOCK = threading.Lock()
+    with _EMIT_LOCK:
+        if _RESULTS["emitted"]:
+            return True
+        _RESULTS["emitted"] = True
+    if tag:
+        log(f"[bench] emitting final JSON ({tag}, "
+            f"{time.time()-_T0:.0f}s elapsed)")
+    out = _final_json(_RESULTS["primary"], _RESULTS["secondary"])
+    print(json.dumps(out), flush=True)
+    return out["value"] is not None
+
+
+def _start_watchdog():
+    """Deadline thread: emit whatever completed, then hard-exit.
+
+    os._exit (not sys.exit) — the main thread may be stuck inside a
+    C++ compile/transfer that never returns to Python."""
+    import threading
+
+    if BUDGET_S <= 0:
+        return
+
+    def run():
+        while True:
+            left = time_left()
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        ok = _emit_final("watchdog deadline")
+        os._exit(0 if ok else 1)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 _probed = {"done": False}
 
 
@@ -354,6 +456,47 @@ def _pickle_cache(path, build, what, validate=None):
     return obj, False
 
 
+def default_cache_paths(platform: str = "tpu") -> dict:
+    """Cache files the DEFAULT `python bench.py` TPU run reads.
+
+    Must stay in lockstep with bench_unstructured's key construction —
+    tools/verify_caches.py gates every round on these existing, so a
+    cache-key bump without a regenerated cache fails loudly BEFORE the
+    driver's bench run instead of during it (the BENCH_r03 failure:
+    commit 3a78052 bumped the asm-plan key to _v2 hours before the driver
+    ran, and the ~11-min host rebuild blew the driver's timeout)."""
+    h = float(os.environ.get("BENCH_UNSTR_H", "5"))
+    refine = int(os.environ.get("BENCH_UNSTR_REFINE", "2"))
+    key = f"sphere_cut_v3_h{h:g}_r{refine}"
+    p = {"mesh": os.path.join(CACHE_DIR, f"{key}.npz")}
+    spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "compact")
+    use_sn = (spmv_mode == "supernode"
+              or os.environ.get("BENCH_UNSTR_ORDER", "sn") != "rcm")
+    if use_sn:
+        p["snmesh"] = os.path.join(CACHE_DIR, f"{key}_snmesh.npz")
+        key += "_sn"
+    p["topology"] = os.path.join(CACHE_DIR, f"topo_{key}.npz")
+    asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window")
+    asm_compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
+    if asm_mode != "segsum":
+        suffix = "_c" if asm_compact else ""
+        p["asm_plan"] = os.path.join(
+            CACHE_DIR, f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v2.pkl")
+    smoother = os.environ.get("BENCH_AMG_SMOOTHER", "chebyshev")
+    _cd = os.environ.get("BENCH_AMG_CHEB_DEG", "2")
+    cheb = tuple(int(x) for x in _cd.split(",")) if "," in _cd else int(_cd)
+    theta = float(os.environ.get("BENCH_AMG_THETA", "0.03"))
+    penalty = 1.0e12
+    compact = spmv_mode == "compact"
+    p["amg"] = os.path.join(
+        CACHE_DIR,
+        f"amg_{key}_{smoother}{str(cheb).replace(' ', '')}"
+        f"_t{theta:g}_{platform}_p{penalty:g}"
+        f"{'_compact' if compact else ''}_v2.pkl",
+    )
+    return p
+
+
 def bench_unstructured() -> dict:
     """PRIMARY: sphere_cut tetra mesh, BELL assembly + AMG-PCG to 1e-8."""
     jax = _setup_jax()
@@ -451,32 +594,48 @@ def bench_unstructured() -> dict:
     # restores the scatter baseline for A/Bs.
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window" if on_tpu else "segsum")
     asm_compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
+    nc = mesh.cells["tetra4"].shape[0]
     if asm_mode == "window":
-        # window-plan device footprint ~ stage-1 lcols (subrows*wcap i32)
-        # + ~25% stage-2: ~1.9 GB at 1.9M but ~11 GB at 8.9M — past the
-        # cap it cannot coexist with the AMG hierarchy in 16 GB HBM, so
-        # fall back to segsum instead of OOM-ing after the 1-2h host
-        # plan build (the BENCH_SN_MAX_GB discipline)
-        est_gb = (topo.n_slots + 2 * n) * 8 * 4 * 1.25 / 1e9
+        # window-plan device footprint, estimated from ENTRY counts (the
+        # stage-1 lcols hold one i32 per (subrow, wcap-slot) = ~16·nc,
+        # stage-2 one per (slot, W2≈4), coords gather one per 4·nc; 1.4x
+        # pad/overhead fudge).  Calibrated against the measured ~2-2.6 GB
+        # at 1.9M nodes / 11M cells.  Past the cap the plan cannot coexist
+        # with the AMG hierarchy in 16 GB HBM — fall back to segsum
+        # instead of OOM-ing after the long host plan build.
+        est_gb = (20 * nc + 4 * topo.n_slots) * 4 * 1.4 / 1e9
         max_gb = float(os.environ.get("AFEM_ASM_MAX_GB", "6"))
         if est_gb > max_gb:
             log(f"[unstr] window-assembly plan ~{est_gb:.1f} GB > "
                 f"{max_gb:g} GB cap; keeping segsum assembly")
             asm_mode = "segsum"
     if asm_mode != "segsum":
-        # the window-reducer plan costs ~11 min of host numpy at 1.9M;
-        # segsum's (~50s) is not worth the multi-GB pickle round-trip
         suffix = "_c" if asm_compact else ""
+        plan_path = os.path.join(
+            CACHE_DIR, f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v2.pkl")
+        # an uncached window-reducer plan costs ~11 min of host numpy at
+        # 1.9M (native planner pending) — degrade to segsum rather than
+        # blow the driver's budget (BENCH_r03 lesson)
+        if (not os.path.exists(plan_path)
+                and time_left() < float(os.environ.get(
+                    "BENCH_PLAN_BUILD_S", "900"))):
+            log(f"[unstr] no cached plan at {plan_path} and only "
+                f"{time_left():.0f}s budget left; degrading to segsum")
+            asm_mode = "segsum"
+    if asm_mode != "segsum":
+        # reduce= is passed EXPLICITLY: the constructor's env default may
+        # disagree with the cap/budget decisions above (ADVICE r3 #1)
         asm, _ = _pickle_cache(
-            os.path.join(CACHE_DIR,
-                         f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v2.pkl"),
-            lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"]),
+            plan_path,
+            lambda: TetraLaneAssembler(topo, mesh.cells["tetra4"],
+                                       reduce=asm_mode),
             f"assembler plan ({asm_mode}{suffix})",
             validate=lambda a: (a.reducer_kind == asm_mode
                                 and getattr(a, "compact", False) == asm_compact),
         )
     else:
-        asm = TetraLaneAssembler(topo, mesh.cells["tetra4"])
+        asm = TetraLaneAssembler(topo, mesh.cells["tetra4"],
+                                 reduce="segsum")
     log(f"[unstr] assembler plan {time.time()-t0:.1f}s "
         f"(reducer={asm.reducer_kind})")
 
@@ -716,10 +875,42 @@ def bench_unstructured() -> dict:
     assert float(res) <= rtol * 1.5, "AMG-PCG did not converge"
     assert np.isfinite(s), "non-finite solution"
 
+    out = {
+        "metric": (
+            f"poisson3d_sphere_cut_{n/1e6:.1f}MDoF_assembly+amgpcg_to_{rtol:g}_s"
+        ),
+        "value": round(asm_s + solve_s, 4),
+        "assembly_s": round(asm_s, 4),
+        "solve_s": round(solve_s, 4),
+        "ms_per_iter": round(solve_s / max(iters, 1) * 1e3, 2),
+        "assembly_mdofs": None if asm_mdofs is None else round(asm_mdofs, 1),
+        "amg_setup_s": round(setup_s, 1),
+        "amg_setup_cached": amg_cached,
+        "iterations": iters,
+        "n_dofs": int(n),
+        "nnz_stored": int(topo.nnz),
+        # which fine-operator path actually ran (supernode may fall back)
+        "spmv_path": type(Ap).__name__,
+        # which window kernel backs it (window vs compact vs diag)
+        "spmv_kernel": getattr(Ap, "_plan_kind", None) or type(
+            getattr(Ap, "gather", None)
+        ).__name__,
+        "amg_compact": amg_compact,
+        "asm_mode": asm.reducer_kind,
+        "asm_compact": getattr(asm, "compact", False),
+        "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
+        "amg_cycle": amg_cycle,
+        "vcycle_bf16": vcycle_bf16,
+        "platform": platform,
+    }
+    # register with the watchdog BEFORE the diagnostic probe: a probe
+    # failure/hang must never cost the measured primary (round-3 lesson)
+    _RESULTS["primary"] = dict(out)
+
     # SpMV fast path vs the XLA gather fallback (the round-1 VERDICT
     # done-criterion: fallback beaten by >=5x on a >=1M-node 3D mesh)
     spmv_ratio = None
-    if on_tpu:
+    if on_tpu and time_left() > 120:
         try:
             import jax as _jax
 
@@ -748,33 +939,9 @@ def bench_unstructured() -> dict:
             # raised HERE, after the solve had succeeded)
             log(f"[unstr] SpMV ratio probe failed ({e!r}); continuing")
 
-    out = {
-        "metric": (
-            f"poisson3d_sphere_cut_{n/1e6:.1f}MDoF_assembly+amgpcg_to_{rtol:g}_s"
-        ),
-        "value": round(asm_s + solve_s, 4),
-        "assembly_mdofs": None if asm_mdofs is None else round(asm_mdofs, 1),
-        "amg_setup_s": round(setup_s, 1),
-        "amg_setup_cached": amg_cached,
-        "iterations": iters,
-        "n_dofs": int(n),
-        "nnz_stored": int(topo.nnz),
-        # which fine-operator path actually ran (supernode may fall back)
-        "spmv_path": type(Ap).__name__,
-        # which window kernel backs it (window vs compact vs diag)
-        "spmv_kernel": getattr(Ap, "_plan_kind", None) or type(
-            getattr(Ap, "gather", None)
-        ).__name__,
-        "amg_compact": amg_compact,
-        "asm_mode": asm.reducer_kind,
-        "asm_compact": getattr(asm, "compact", False),
-        "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
-        "amg_cycle": amg_cycle,
-        "vcycle_bf16": vcycle_bf16,
-        "platform": platform,
-    }
     if spmv_ratio is not None:
         out["spmv_vs_xla_gather"] = round(spmv_ratio, 1)
+        _RESULTS["primary"] = dict(out)
     return out
 
 
@@ -1103,10 +1270,12 @@ def main():
             if os.environ.get("BENCH_BOX", "1") == "1":
                 skip_box = False  # never override an explicit BENCH_BOX=0
 
+    _start_watchdog()
     unstr = None
     if not skip_unstr:
         try:
             unstr = bench_unstructured()
+            _RESULTS["primary"] = unstr
         except Exception as e:
             # never lose the whole bench to the newer primary path — fall
             # back to the proven structured metric and say why
@@ -1116,46 +1285,26 @@ def main():
 
             traceback.print_exc(file=sys.stderr)
             skip_box = False
-    box = None if skip_box else bench_structured()
-
-    primary = unstr or box
-    if primary is None:
-        log("[bench] nothing ran (both metrics skipped/unavailable)")
-        print(json.dumps({
-            "metric": "none", "value": None, "unit": "s",
-            "vs_baseline": None,
-            "extra": {"error": "no benchmark ran on this backend"},
-        }))
-        sys.exit(1)
-    extra = {k: v for k, v in primary.items() if k not in ("metric", "value")}
-    if unstr is not None and box is not None:
-        extra["secondary_metric"] = box["metric"]
-        extra["secondary_value"] = box["value"]
-        extra["secondary_assembly_mdofs"] = box["assembly_mdofs"]
-    # vs_baseline: the A100 roofline estimate of the reference's own GPU
-    # pipeline on this exact system (BASELINE.md "Reference-path roofline
-    # estimate"); >1 means the TPU build beats the estimate
-    vs = None
-    if "n_dofs" in primary and "nnz_stored" in primary:
-        ref_s = reference_roofline_estimate(
-            primary["n_dofs"], primary["nnz_stored"]
-        )
-        extra["baseline_kind"] = "a100-roofline-estimate"
-        extra["baseline_estimate_s"] = round(ref_s, 4)
-        if primary.get("platform") == "tpu":
-            vs = round(ref_s / primary["value"], 3)
+    if not skip_box:
+        # the structured secondary needs ~2 min warm but can cost ~10 min
+        # on a cold compile cache through the remote-compile tunnel; never
+        # let it push a completed primary past the deadline
+        if unstr is not None and time_left() < float(
+                os.environ.get("BENCH_SECONDARY_S", "420")):
+            log(f"[bench] {time_left():.0f}s left < secondary reserve; "
+                "skipping the structured secondary")
         else:
-            # a CPU fallback number is not comparable to the A100 roofline;
-            # label it loudly instead of emitting a misleading ratio
-            extra["platform"] = "cpu-fallback"
-    out = {
-        "metric": primary["metric"],
-        "value": primary["value"],
-        "unit": "s",
-        "vs_baseline": vs,
-        "extra": extra,
-    }
-    print(json.dumps(out))
+            try:
+                _RESULTS["secondary"] = bench_structured()
+            except Exception as e:
+                log(f"[bench] structured metric FAILED ({e!r})")
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+
+    if not _emit_final():
+        log("[bench] nothing ran (both metrics skipped/unavailable)")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
