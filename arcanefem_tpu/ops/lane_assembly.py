@@ -77,8 +77,13 @@ class TetraLaneAssembler:
             # c*10 + packed(i,j)) — 6/16 less table traffic and denser
             # source windows.  NOTE: plans only on narrow-band (2D)
             # meshes; 3D falls through (ROADMAP "scatter tax").
-            e = np.arange(16 * nc, dtype=np.int64)
-            entry_map = (e // 16) * 10 + Q2P16[e % 16]
+            # int32 broadcast form: 10·nc < 2^31 for any single-chip mesh,
+            # and the i64 arange/div/mod chain was ~5 passes over 16·nc
+            edt = np.int32 if 10 * nc < 2**31 else np.int64
+            entry_map = (
+                (np.arange(nc, dtype=edt) * 10)[:, None]
+                + Q2P16[None, :].astype(edt)
+            ).reshape(-1)
             sea = SortedEntryAssembler(topo, entry_map=entry_map,
                                        compact=compact)
             if sea.available:

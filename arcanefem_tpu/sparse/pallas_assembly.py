@@ -253,17 +253,39 @@ class SortedEntryAssembler:
         compact form streams each block's DISTINCT sources once and
         sweeps uniq-sized windows."""
         self.topo = topo
-        slots = np.concatenate(
-            [topo.slot_maps[k].reshape(-1) for k in topo.slot_maps]
-        ).astype(np.int64)
-        order = np.argsort(slots, kind="stable")
-        counts = np.bincount(slots, minlength=topo.n_slots)
-        ptr = np.zeros(topo.n_slots + 1, np.int64)
-        np.cumsum(counts, out=ptr[1:])
-        indices = order if entry_map is None else entry_map[order]
-        self.plan = PlannedGather.build_csr(
-            indices, ptr, wcap=wcap, max_window=max_window, compact=compact
-        )
+        sms = [np.asarray(topo.slot_maps[k]).reshape(-1)
+               for k in topo.slot_maps]
+        slots = sms[0] if len(sms) == 1 else np.concatenate(sms)
+        # native counting-sort path (planner.cpp): argsort + entry_map
+        # gather + bincount in O(E) C++ passes — the grouped indices stay
+        # int32 end-to-end (the i64 sort/gather alone is ~5s per 22M
+        # entries on the 1-CPU host)
+        nat = None
+        if (topo.n_slots < 2**31
+                and (entry_map is None
+                     or entry_map.dtype == np.int32
+                     or (len(entry_map)
+                         and int(entry_map.max()) < 2**31))):
+            from ..utils.native import group_by_slot_native
+
+            nat = group_by_slot_native(slots, entry_map, topo.n_slots)
+        if nat is not None:
+            indices, deg = nat
+            self.plan = PlannedGather.build_csr_deg(
+                indices, deg, wcap=wcap, max_window=max_window,
+                compact=compact,
+            )
+        else:
+            slots = slots.astype(np.int64)
+            order = np.argsort(slots, kind="stable")
+            counts = np.bincount(slots, minlength=topo.n_slots)
+            ptr = np.zeros(topo.n_slots + 1, np.int64)
+            np.cumsum(counts, out=ptr[1:])
+            indices = order if entry_map is None else entry_map[order]
+            self.plan = PlannedGather.build_csr(
+                indices, ptr, wcap=wcap, max_window=max_window,
+                compact=compact,
+            )
 
     @property
     def available(self) -> bool:

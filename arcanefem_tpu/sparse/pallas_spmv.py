@@ -102,6 +102,41 @@ def plan_windows(
 _SLOT_CANDIDATES = (1, 2, 3, 4, 6, 8, 12, 16)
 
 
+def _native_plan_enabled() -> bool:
+    import os
+
+    return os.environ.get("AFEM_NATIVE_PLAN", "1") == "1"
+
+
+def _plan_native(cols: np.ndarray, block_rows: int, max_window: int,
+                 slot_candidates: tuple):
+    """Native-planner WindowPlan (planner.cpp); cols (n, W), entries < 0
+    are padding and come back as the _UNIT_PAD sentinel.  Returns a
+    WindowPlan; None when the library is unavailable/disabled (caller
+    falls back to the numpy planner); False when the planner definitively
+    found no layout fitting max_window (don't re-run numpy to learn the
+    same thing)."""
+    if not _native_plan_enabled():
+        return None
+    if cols.size and int(cols.max()) >= 2**31:
+        return None  # table too large for the int32 planner
+    from ..utils.native import plan_windows_native
+
+    n, W = cols.shape
+    R = block_rows
+    nat = plan_windows_native(cols, R, max_window, slot_candidates)
+    if nat is None or nat is False:
+        return nat
+    lo, slot_rows, virt, need_rows = nat
+    nb = lo.shape[0]
+    return WindowPlan(
+        n_nodes=n, width=W, block_rows=R,
+        window=int(sum(slot_rows)) * LANE, n_blocks=nb,
+        lo=lo, lcols=virt.reshape(nb, R * W // LANE, LANE),
+        slot_rows=slot_rows, need_rows=need_rows, order=None,
+    )
+
+
 def plan_windows_from_cols(
     cols_in: np.ndarray, pad_target: int,
     block_rows: int = 512, max_window: int = 128 * 1024,
@@ -122,6 +157,15 @@ def plan_windows_from_cols(
     R = block_rows
     if (R * W) % LANE:
         return None
+    # native planner fast path (planner.cpp, ~20-40x): same layout search,
+    # pad rows get the sentinel virt index instead of a filled column —
+    # numerically identical (pad weights are zero / unit-plan sentinel)
+    nat = _plan_native(np.ascontiguousarray(cols_in, np.int32),
+                       R, max_window, slot_candidates)
+    if nat is False:
+        return None
+    if nat is not None:
+        return nat
     nb = -(-n // R)
     n_pad = nb * R
     cols = np.empty((n_pad, W), np.int32)
@@ -585,24 +629,38 @@ class PlannedGather:
                 )
                 if main is not None:
                     return ChainedGather(pre, main, n)
-        cols = np.asarray(cols, np.int64).copy()
-        # pad columns -> the row's first real column; empty rows forward-
-        # fill from the nearest non-empty row so they never widen a window
-        first = np.where(real.any(axis=1), cols[np.arange(n),
-                         real.argmax(axis=1)], -1)
-        idx = np.where(first >= 0, np.arange(n), -1)
-        np.maximum.accumulate(idx, out=idx)
-        if idx[0] < 0:
-            nz = np.flatnonzero(first >= 0)
-            if not len(nz):
-                return None
-            idx[idx < 0] = nz[0]
-        fill = first[idx]
-        cols = np.where(real, cols, fill[:, None])
-        plan = plan_windows_from_cols(
-            cols.astype(np.int32), pad_target=int(fill[-1]),
-            block_rows=block_rows, max_window=max_window,
-        )
+        cols = np.asarray(cols, np.int64)
+        if not real.any():
+            return None
+        # native planner path: pads ride as -1 and come back as the
+        # sentinel — the fill-nearby-column and unit-mask passes disappear
+        plan = None
+        if cols.size and int(cols.max()) < 2**31:
+            plan = _plan_native(np.where(real, cols, -1).astype(np.int32),
+                                block_rows, max_window, _SLOT_CANDIDATES)
+        from_native = plan is not None and plan is not False
+        if plan is False:
+            return None
+        if plan is None:
+            cols = cols.copy()
+            # pad columns -> the row's first real column; empty rows
+            # forward-fill from the nearest non-empty row so they never
+            # widen a window
+            first = np.where(real.any(axis=1), cols[np.arange(n),
+                             real.argmax(axis=1)], -1)
+            idx = np.where(first >= 0, np.arange(n), -1)
+            np.maximum.accumulate(idx, out=idx)
+            if idx[0] < 0:
+                nz = np.flatnonzero(first >= 0)
+                if not len(nz):
+                    return None
+                idx[idx < 0] = nz[0]
+            fill = first[idx]
+            cols = np.where(real, cols, fill[:, None])
+            plan = plan_windows_from_cols(
+                cols.astype(np.int32), pad_target=int(fill[-1]),
+                block_rows=block_rows, max_window=max_window,
+            )
         if plan is None:
             return None
         nb, R = plan.n_blocks, plan.block_rows
@@ -614,11 +672,15 @@ class PlannedGather:
         # zeroes it).  Halves the plan's HBM footprint and saves a vector
         # multiply per tile; the 8.7 GB window-assembly plan at 1.9M nodes
         # OOM'd HBM by 1.28 GB without this (measured 2026-08-19).
-        if real.any() and bool(np.all(w_np[real] == 1.0)):
-            m = np.zeros((nb * R, W), bool)
-            m[:n] = real
-            lc = np.asarray(plan.lcols).reshape(nb, R * W).copy()
-            lc[~m.reshape(nb, R * W)] = _UNIT_PAD
+        if bool(np.all(w_np[real] == 1.0)):
+            if from_native:
+                # pads are already the sentinel — no masking pass
+                lc = np.asarray(plan.lcols)
+            else:
+                m = np.zeros((nb * R, W), bool)
+                m[:n] = real
+                lc = np.asarray(plan.lcols).reshape(nb, R * W).copy()
+                lc[~m.reshape(nb, R * W)] = _UNIT_PAD
             return PlannedGather(
                 vals_tiled=None,
                 lcols=jnp.asarray(lc.reshape(nb, G, LANE)),
@@ -648,12 +710,23 @@ class PlannedGather:
         wider than wcap split into subrows (ChainedGather).  Returns None
         when no window plan exists."""
         indptr = np.asarray(indptr, np.int64)
-        n = len(indptr) - 1
-        deg = np.diff(indptr)
-        ccols = np.asarray(indices, np.int64)
-        cvals = (np.ones(len(ccols), np.float32) if weights is None
+        return PlannedGather.build_csr_deg(
+            indices, np.diff(indptr), block_rows, max_window, wcap,
+            weights=weights, compact=compact)
+
+    @staticmethod
+    def build_csr_deg(indices: np.ndarray, deg: np.ndarray,
+                      block_rows: int | None = None,
+                      max_window: int = 128 * 1024, wcap: int = 8,
+                      weights: np.ndarray | None = None,
+                      compact: bool = False):
+        """build_csr from per-row entry counts (row r owns the next deg[r]
+        indices); weights=None = unit (no ones array is materialized —
+        at assembly scale that alone is ~0.7 GB)."""
+        cvals = (None if weights is None
                  else np.asarray(weights, np.float32))
-        return _build_split_compact(ccols, cvals, deg, n, block_rows,
+        return _build_split_compact(np.asarray(indices), cvals,
+                                    np.asarray(deg), len(deg), block_rows,
                                     max_window, wcap, compact=compact)
 
     def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
@@ -837,12 +910,63 @@ def _build_split(cols, w_np, real, deg, block_rows, max_window, wcap,
                                 max_window, wcap, compact=compact)
 
 
+def _split_stage2(n, nsub, total, block_rows, max_window):
+    """Stage-2 of a split plan: sum each row's consecutive subrow ids.
+    Near-perfect windows (consecutive integers); unit weights."""
+    nsub = np.asarray(nsub, np.int64)
+    W2 = max(1, int(nsub.max(initial=0)))
+    # round W2 up to a divisor of 128 so the row-sum stays the fused MXU
+    # contraction (_row_sums): a non-divisor width falls back to the
+    # padded-relayout reduce, which is a 24 GB HBM bomb at 47M rows
+    while LANE % W2:
+        W2 += 1
+    sub_start = np.concatenate([[0], np.cumsum(nsub)])
+    base = (sub_start[:-1, None] + np.arange(W2)[None, :]).astype(np.int32)
+    o_w = np.arange(W2)[None, :] < nsub[:, None]
+    o_cols = np.where(o_w, base, 0)
+    return PlannedGather.build(o_cols, o_w.astype(np.float32), block_rows,
+                               max_window, wcap=0)
+
+
 def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
                          compact=False):
     """_build_split on already-compacted CSR-style entries: row r owns
     ccols/cvals[deg[:r].sum() : deg[:r+1].sum()].  Avoids materializing the
     dense (n, K) cols/weights — at assembly scale (n_slots=38M, K≈30 on
     the 2.1M sphere_cut) the dense form alone is ~9 GB."""
+    # native fast path for UNIT weights (the assembly reducer, compact
+    # pre-gathers): subrow layout + stage-1 plan entirely in planner.cpp —
+    # no (total, wcap) int64/float32 numpy temporaries, pads ride as -1
+    unit = cvals is None or bool(np.all(cvals == 1.0))
+    if (not compact and _native_plan_enabled() and unit
+            and (len(ccols) == 0 or int(np.max(ccols)) < 2**31)):
+        from ..utils.native import subrow_cols_native
+
+        nat = subrow_cols_native(ccols, deg, wcap)
+        if nat is not None:
+            s_cols_n, nsub_n = nat
+            total_n = s_cols_n.shape[0]
+            R1 = block_rows or _adaptive_block_rows(wcap)
+            p1 = _plan_native(s_cols_n, R1, max_window, _SLOT_CANDIDATES)
+            if p1 is False:
+                return None
+            if p1 is not None:
+                stage1 = PlannedGather(
+                    vals_tiled=None,
+                    lcols=jnp.asarray(p1.lcols),
+                    lo=jnp.asarray(p1.lo),
+                    key=(R1 * wcap // LANE, p1.slot_rows, p1.n_blocks),
+                    n_rows=total_n, width=wcap, need_rows=p1.need_rows,
+                )
+                stage2 = _split_stage2(n, nsub_n, total_n, block_rows,
+                                       max_window)
+                if stage2 is None:
+                    return None
+                return ChainedGather(stage1, stage2, n)
+        # no native stage-1 plan/library: fall through to the numpy path
+
+    if cvals is None:
+        cvals = np.ones(len(ccols), np.float32)
     rows = np.repeat(np.arange(n), deg)
     nsub = -(-deg // wcap)
     if not compact:
@@ -887,20 +1011,7 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
                                      wcap=0)
     if stage1 is None:
         return None
-    W2 = max(1, int(nsub.max(initial=0)))
-    # round W2 up to a divisor of 128 so the row-sum stays the fused MXU
-    # contraction (_row_sums): a non-divisor width falls back to the
-    # padded-relayout reduce, which is a 24 GB HBM bomb at 47M rows
-    while LANE % W2:
-        W2 += 1
-    o_cols = np.zeros((n, W2), np.int64)
-    o_w = np.zeros((n, W2), np.float32)
-    r2 = np.repeat(np.arange(n), nsub)
-    p2 = np.arange(total) - np.repeat(sub_start[:-1], nsub)
-    o_cols[r2, p2] = np.arange(total)
-    o_w[r2, p2] = 1.0
-    stage2 = PlannedGather.build(o_cols, o_w, block_rows, max_window,
-                                 wcap=0)
+    stage2 = _split_stage2(n, nsub, total, block_rows, max_window)
     if stage2 is None:
         return None
     return ChainedGather(stage1, stage2, n)

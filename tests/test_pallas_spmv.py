@@ -62,9 +62,18 @@ def test_window_plan_geometry():
     n, W = topo.n_nodes, topo.width
     nb, R = plan.n_blocks, plan.block_rows
     assert nb * R >= n
-    # every localized column must be inside its block's window
+    # every localized column must be inside its block's window, except
+    # pad-row entries, which the native planner marks with the _UNIT_PAD
+    # sentinel (the sweep's row-match select zeroes them; the numpy
+    # planner filled them with a valid nearby column instead)
+    from arcanefem_tpu.sparse.pallas_spmv import _UNIT_PAD
+
     assert plan.lcols.min() >= 0
-    assert plan.lcols.max() < plan.window
+    in_win = plan.lcols < plan.window
+    is_pad = plan.lcols >= _UNIT_PAD
+    assert bool(np.all(in_win | is_pad))
+    # real rows carry no sentinel
+    assert not is_pad.reshape(nb * R, W)[:n].any()
     # reconstruction through the slot layout == original cols (real rows)
     rec = plan.global_cols()[:n]
     np.testing.assert_array_equal(rec, topo.ell_cols)
@@ -239,8 +248,13 @@ def _emulate_planned(g, table):
     if g.vals_tiled is None:
         vals = np.where(pad, 0.0, 1.0).astype(np.float32)
     else:
+        # native-planner weighted plans carry the sentinel at zero-weight
+        # pads (numpy plans point pads at a nearby real column instead);
+        # either way the pad weight is 0, so the product is exact 0
         vals = np.asarray(g.vals_tiled, np.float32)
-        assert not pad.any(), "sentinel in a weighted plan"
+        assert not (pad & (vals != 0.0)).any(), \
+            "sentinel under a NON-zero weight"
+        vals = np.where(pad, 0.0, vals)
     vrow, lane = lcols >> 7, lcols & (LANE - 1)
     s = np.searchsorted(offs, vrow, side="right") - 1
     src = lo[np.arange(nb)[:, None, None], s] + vrow - offs[s]
@@ -256,6 +270,51 @@ def _emulate(g, table):
         # (column pre-gather -> remapped main sweep)
         return _emulate(g.stage2, _emulate(g.stage1, table))
     return _emulate_planned(g, table)
+
+
+def test_native_planner_matches_numpy():
+    """planner.cpp vs the numpy planner: identical gather RESULTS (the
+    layouts may differ in gap tie-breaks — both are valid plans)."""
+    from arcanefem_tpu.sparse import pallas_spmv as ps
+    from arcanefem_tpu.utils.native import library
+
+    if library() is None or not hasattr(library(), "afem_plan_build"):
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(7)
+    n, W = 3000, 8
+    cols = (np.arange(n)[:, None] * 4 + rng.randint(0, 600, (n, W))) % (4 * n)
+    w = rng.rand(n, W).astype(np.float32)
+    w[rng.rand(n, W) < 0.25] = 0.0          # weighted plan with pads
+    w_unit = (w != 0).astype(np.float32)    # unit plan with pads
+    table = rng.rand(4 * n).astype(np.float32)
+    # CSR split form (wide rows) exercises the native subrow layout
+    deg = rng.randint(0, 30, 500)
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    idx = rng.randint(0, 4 * n, indptr[-1])
+
+    import os
+    got, want = {}, {}
+    for tag, store in (("1", got), ("0", want)):
+        os.environ["AFEM_NATIVE_PLAN"] = tag
+        try:
+            g = ps.PlannedGather.build(cols, w)
+            store["weighted"] = _emulate(g, table)
+            gu = ps.PlannedGather.build(cols, w_unit)
+            store["unit"] = _emulate(gu, table)
+            gc = ps.PlannedGather.build_csr(idx, indptr, wcap=8)
+            store["csr"] = _emulate(gc, table)
+            pw = ps.plan_windows_from_cols(cols.astype(np.int32), 4 * n - 1)
+            store["rec"] = pw.global_cols()[:n]
+        finally:
+            os.environ.pop("AFEM_NATIVE_PLAN", None)
+    np.testing.assert_allclose(got["weighted"], want["weighted"],
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got["unit"], want["unit"],
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got["csr"], want["csr"],
+                               rtol=2e-5, atol=1e-5)
+    # real-row reconstruction is layout-independent
+    np.testing.assert_array_equal(got["rec"], want["rec"])
 
 
 def test_planned_gather_plain():
