@@ -497,11 +497,13 @@ def truncate_rows(P, kmax=8, rel=0.05, rescale=True):
     # (mixed-sign smoothed-P rows) otherwise blows survivors up by
     # 1e6+ and poisons the Galerkin product with inf-inf=NaN — the
     # observed fresh-1.9M-hierarchy NaN that the pinv coarse fallback
-    # had to absorb (ROADMAP round-3 "AMG NaN forensics")
-    raw = full / np.where(kept == 0, 1, kept)
-    scale = np.where(
-        np.abs(kept) > 0.1 * np.abs(full), np.clip(raw, -4.0, 4.0), 1.0
-    )
+    # had to absorb (round-3 "AMG NaN forensics").  The division itself
+    # only runs where the row passes the mass test: full/kept with a
+    # subnormal kept overflows to inf (the RuntimeWarning seen in the
+    # round-3 fresh build) even when np.where then discards it.
+    ok = np.abs(kept) > 0.1 * np.abs(full)
+    raw = full / np.where(ok, kept, 1.0)
+    scale = np.where(ok, np.clip(raw, -4.0, 4.0), 1.0)
     Q = sp.csr_matrix(
         (dat * keep * scale[rows], P.indices, indptr), shape=P.shape
     )
@@ -723,6 +725,16 @@ def build_amg(
                           rescale=not used_rbm)
         nxt = (P.T @ cur @ P).tocsr()
         nxt.sum_duplicates()
+        if not np.isfinite(nxt.data).all():
+            # fail LOUDLY: a non-finite Galerkin operator means the
+            # prolongator carried inf/NaN (historically: truncate_rows
+            # rescale blow-ups).  The pinv coarse fallback used to absorb
+            # this silently — a latent correctness bug, round-3 VERDICT #6.
+            raise FloatingPointError(
+                f"non-finite Galerkin operator at level {len(mats) + 1} "
+                f"({int((~np.isfinite(nxt.data)).sum())} bad entries); "
+                "prolongator scaling bug — do not silently self-heal"
+            )
 
         mats.append(cur)
         Ps.append(P)

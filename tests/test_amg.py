@@ -7,6 +7,7 @@ fraction of the iterations.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -393,3 +394,43 @@ def test_truncate_rows_never_amplifies_cancelling_rows():
     assert np.abs(q).max() <= 4.0 + 1e-12
     # benign rows keep their row sums exactly (constant interpolation)
     np.testing.assert_allclose(q[0].sum(), 12.0, rtol=1e-12)
+
+
+def test_truncate_rows_no_overflow_warning():
+    """The rescale division must not even COMPUTE full/kept on rows that
+    fail the mass gate: a subnormal kept-sum overflows to inf under the
+    old unconditional divide (the round-3 RuntimeWarning, VERDICT r3 #6),
+    and warnings-as-errors turns that latent path into a crash."""
+    import warnings
+
+    import scipy.sparse as sp
+
+    from arcanefem_tpu.solver.amg import truncate_rows
+
+    # kept sum is subnormal (~5e-324): full/kept would overflow to inf
+    rows = [0] * 10
+    cols = list(range(10))
+    dat = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 5e-324, 0.7]
+    P = sp.csr_matrix((dat, (rows, cols)), shape=(1, 10))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Q = truncate_rows(P, kmax=8, rel=0.0)
+    assert np.all(np.isfinite(Q.toarray()))
+
+
+def test_galerkin_nan_fails_loudly(monkeypatch):
+    """A non-finite Galerkin operator must raise, not be silently
+    absorbed by the pinv coarse fallback (VERDICT r3 #6)."""
+    from arcanefem_tpu.solver import amg as amg_mod
+
+    A, _, _ = _poisson_system(8)
+
+    def bad_truncate(P, **kw):
+        Q = P.tocsr().copy()
+        if len(Q.data):
+            Q.data[0] = np.nan
+        return Q
+
+    monkeypatch.setattr(amg_mod, "truncate_rows", bad_truncate)
+    with pytest.raises(FloatingPointError, match="non-finite Galerkin"):
+        amg_mod.build_amg(A, coarse_size=8)
