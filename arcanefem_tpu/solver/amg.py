@@ -527,6 +527,7 @@ def build_amg(
     sawtooth: bool = False,
     cycle: str = "V",
     compact: bool | None = None,
+    values_np: np.ndarray | None = None,
 ) -> AMGPrecond:
     """Host-side setup: strength -> aggregation -> Galerkin, per level.
 
@@ -556,8 +557,15 @@ def build_amg(
 
     topo = A.topo
     b = A.block
+    # values_np: the caller's HOST copy of A.values.  Without it the
+    # np.asarray(A.values) below is a device->host fetch — through the
+    # axon tunnel that single pull measured ~330 s for the 1.9M fine
+    # operator (the bulk of the 206 s "AMG setup" in BENCH_r04's first
+    # run); every bench/solver caller has the values host-side anyway.
+    _av = (np.asarray(values_np) if values_np is not None
+           else np.asarray(A.values))
     if b == 1:
-        vals = np.asarray(A.values).reshape(topo.n_nodes, topo.width)
+        vals = _av.reshape(topo.n_nodes, topo.width)
         data = vals.reshape(-1)[topo.csr_to_ell]
         Ah = sp.csr_matrix(
             (data.astype(np.float64), topo.csr_cols, topo.row_ptr),
@@ -565,7 +573,7 @@ def build_amg(
         )
     else:
         # scalar expansion of the block BELL, dof = node*b + comp
-        vals = np.asarray(A.values, np.float64)  # (N, W, b, b)
+        vals = _av.astype(np.float64)  # (N, W, b, b)
         N, W = topo.n_nodes, topo.width
         blocks = vals.reshape(N * W, b, b)[topo.csr_to_ell]  # (nnz, b, b)
         rows_n = np.repeat(np.arange(N), np.diff(topo.row_ptr))
@@ -631,7 +639,7 @@ def build_amg(
         lam = float(np.linalg.eigvalsh(T).max()) if len(alphas) else gersh
         return float(min(1.08 * lam, gersh))
 
-    dtype = np.asarray(A.values).dtype
+    dtype = _av.dtype
     mats, inv_diags, Ps, rhos = [], [], [], []
     cur = Ah
     bl = b  # dofs per "node" at the current level (m on coarse RBM levels)
@@ -667,7 +675,9 @@ def build_amg(
         S = sp.csr_matrix(
             (co.data[keep], (co.row[keep], co.col[keep])), shape=nodeA.shape
         )
+        _mark(f"  strength[{len(mats)}]")
         agg, na = _aggregate(S, nn)
+        _mark(f"  aggregate[{len(mats)}]")
         if na == 0 or na >= nn:  # no coarsening progress
             break
         sel = agg >= 0
@@ -716,15 +726,20 @@ def build_amg(
         ddf = np.asarray(Af.diagonal())
         Dinvf = sp.diags(1.0 / np.where(ddf == 0, 1.0, ddf))
         DAf = (Dinvf @ Af).tocsr()
+        _mark(f"  filter[{len(mats)}]")
         rho_f = rho_est(Af.tocsr(), ddf)
+        _mark(f"  rho_f[{len(mats)}]")
         # smoother damping uses the TRUE operator's spectral radius
         dd = np.asarray(cur.diagonal())
         rhos.append(rho_est(cur.tocsr(), dd))
+        _mark(f"  rho_A[{len(mats)}]")
         P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho_f) * DAf) @ T
         P = truncate_rows(P.tocsr(), kmax=trunc_kmax, rel=trunc_rel,
                           rescale=not used_rbm)
+        _mark(f"  smoothP[{len(mats)}]")
         nxt = (P.T @ cur @ P).tocsr()
         nxt.sum_duplicates()
+        _mark(f"  galerkin[{len(mats)}]")
         if not np.isfinite(nxt.data).all():
             # fail LOUDLY: a non-finite Galerkin operator means the
             # prolongator carried inf/NaN (historically: truncate_rows
@@ -744,13 +759,18 @@ def build_amg(
         _mark(f"level {len(mats)-1} ({n}->{cur.shape[0]} dofs)")
 
     pallas_ok = use_pallas and jax.devices()[0].platform == "tpu"
+    import os as _os
+
+    _spmv_mode = _os.environ.get("AFEM_SPMV")
+    # blockN: sweep level operators at N×N block granularity
+    # (sparse/blocked.py — ~fill/b² of the scalar sweep's lane-ops);
+    # transfers keep the scalar compact plans
+    blocked_b = {"block2": 2, "block4": 4}.get(_spmv_mode or "")
     if compact is None:
         # column-compaction pre-gather for every planned window sweep
         # (level operators + transfers): ~6x fewer lane-ops on 3D-bandwidth
         # plans (sparse/pallas_spmv.CompactBellSpmv analysis)
-        import os as _os
-
-        compact = _os.environ.get("AFEM_SPMV") == "compact"
+        compact = _spmv_mode == "compact" or blocked_b is not None
 
     def to_bell(M, pallas: bool) -> BellMatrix:
         M = M.tocsr()
@@ -764,6 +784,14 @@ def build_amg(
             topo=t, block=1, cols=jnp.asarray(t.ell_cols),
         )
         if pallas:
+            if blocked_b is not None:
+                from ..sparse.blocked import BlockedGather
+
+                g = BlockedGather.build_csr(
+                    M.indices, M.indptr, M.data, M.shape[1], b=blocked_b,
+                )
+                if g is not None:
+                    return _PlannedMat(bm, g)
             # width-capped PlannedGather (values baked as pytree data):
             # the hierarchy's widths grow with depth (Galerkin fill-in,
             # W≈60-100), and an uncapped ELL kernel at that width blows

@@ -487,12 +487,15 @@ def default_cache_paths(platform: str = "tpu") -> dict:
     cheb = tuple(int(x) for x in _cd.split(",")) if "," in _cd else int(_cd)
     theta = float(os.environ.get("BENCH_AMG_THETA", "0.03"))
     penalty = 1.0e12
-    compact = spmv_mode == "compact"
+    # bench_unstructured exports BENCH_UNSTR_SPMV into AFEM_SPMV for these
+    # modes; mirror that mapping so the key matches what the run will read
+    mode_sfx = {"compact": "_compact", "block2": "_b2",
+                "block4": "_b4"}.get(spmv_mode, "")
     p["amg"] = os.path.join(
         CACHE_DIR,
         f"amg_{key}_{smoother}{str(cheb).replace(' ', '')}"
         f"_t{theta:g}_{platform}_p{penalty:g}"
-        f"{'_compact' if compact else ''}_v2.pkl",
+        f"{mode_sfx}_v2.pkl",
     )
     return p
 
@@ -530,9 +533,10 @@ def bench_unstructured() -> dict:
     # BENCH_UNSTR_SPMV=window|supernode opt back into the alternatives.
     spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "compact")
     supernode = spmv_mode == "supernode"
-    if spmv_mode == "compact":
-        # read by _cached_spmv AND build_amg (level operators + transfers)
-        os.environ["AFEM_SPMV"] = "compact"
+    if spmv_mode in ("compact", "block2", "block4"):
+        # read by _cached_spmv AND build_amg (level operators + transfers);
+        # blockN = b×b blocked sweep for level operators (sparse/blocked.py)
+        os.environ["AFEM_SPMV"] = spmv_mode
     key = f"sphere_cut_v3_h{h:g}_r{refine}"
     # node ordering is decoupled from the SpMV mode and DEFAULTS to the
     # supernode brick+RCM order: it measured 400 ms/iter vs plain RCM's
@@ -715,17 +719,20 @@ def bench_unstructured() -> dict:
     # V (default) or W: second coarse visit per level — targets the
     # measured iteration growth at 8.9M DoF (21 iters at 1.9M -> 55)
     amg_cycle = os.environ.get("BENCH_AMG_CYCLE", "V")
-    amg_compact = os.environ.get("AFEM_SPMV") == "compact"
+    amg_mode = os.environ.get("AFEM_SPMV", "")
+    amg_compact = amg_mode == "compact"
+    amg_mode_sfx = {"compact": "_compact", "block2": "_b2",
+                    "block4": "_b4"}.get(amg_mode, "")
     amg_path = os.path.join(
         CACHE_DIR,
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
         f"_t{amg_theta:g}_{platform}_p{penalty:g}"
-        f"{'_compact' if amg_compact else ''}_v2.pkl",
+        f"{amg_mode_sfx}_v2.pkl",
     )
     M, amg_cached = _pickle_cache(
         amg_path,
         lambda: build_amg(A, smoother=amg_smoother, cheb_deg=amg_cheb,
-                          theta=amg_theta),
+                          theta=amg_theta, values_np=flat),
         "AMG hierarchy",
     )
     if amg_cycle != "V":

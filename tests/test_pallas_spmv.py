@@ -224,52 +224,10 @@ def test_assembler_matches_segment_sum_on_tpu():
     np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-6)
 
 
-def _emulate_planned(g, table):
-    """Numpy emulation of the window kernel from a PlannedGather's plan."""
-    from arcanefem_tpu.sparse.pallas_spmv import PlannedGather
-
-    assert isinstance(g, PlannedGather)
-    G, slot_rows, nb = g.key
-    R = G * LANE // g.width
-    offs = np.concatenate([[0], np.cumsum(slot_rows)])
-    need = g.need_rows * LANE
-    n_t = -(-max(len(table), need) // LANE) * LANE
-    tp = np.zeros(n_t, np.float32)
-    tp[: len(table)] = table
-    tp = tp.reshape(-1, LANE)
-    lcols = np.asarray(g.lcols)
-    lo = np.asarray(g.lo)
-    # unit plans: no weights array; padding rides the _UNIT_PAD sentinel
-    # (its window row never matches a sweep row -> exact 0 contribution)
-    from arcanefem_tpu.sparse.pallas_spmv import _UNIT_PAD
-
-    pad = lcols >= int(_UNIT_PAD)
-    lcols = np.where(pad, 0, lcols)
-    if g.vals_tiled is None:
-        vals = np.where(pad, 0.0, 1.0).astype(np.float32)
-    else:
-        # native-planner weighted plans carry the sentinel at zero-weight
-        # pads (numpy plans point pads at a nearby real column instead);
-        # either way the pad weight is 0, so the product is exact 0
-        vals = np.asarray(g.vals_tiled, np.float32)
-        assert not (pad & (vals != 0.0)).any(), \
-            "sentinel under a NON-zero weight"
-        vals = np.where(pad, 0.0, vals)
-    vrow, lane = lcols >> 7, lcols & (LANE - 1)
-    s = np.searchsorted(offs, vrow, side="right") - 1
-    src = lo[np.arange(nb)[:, None, None], s] + vrow - offs[s]
-    prods = vals * tp[src, lane]
-    return prods.reshape(nb * R, g.width).sum(axis=1)[: g.n_rows]
-
-
-def _emulate(g, table):
-    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather
-
-    if isinstance(g, ChainedGather):
-        # compact plans nest: stage1 may itself be a ChainedGather
-        # (column pre-gather -> remapped main sweep)
-        return _emulate(g.stage2, _emulate(g.stage1, table))
-    return _emulate_planned(g, table)
+from arcanefem_tpu.utils.emulate import (  # noqa: E402
+    emulate_gather as _emulate,
+    emulate_planned as _emulate_planned,
+)
 
 
 def test_native_planner_matches_numpy():
