@@ -74,12 +74,17 @@ class BlockedGather:
     def build_csr(indices: np.ndarray, indptr: np.ndarray,
                   data: np.ndarray, n_cols: int | None = None,
                   b: int = 4, wcap: int = 8,
-                  max_window: int = 128 * 1024):
+                  max_window: int = 128 * 1024,
+                  block_rows: int | None = None):
         """Scalar CSR (indices/indptr/data) → blocked operator or None.
 
         b: block size (rows AND columns; 2 or 4 keep the fill tolerable
         on RCM/sn-ordered meshes).  wcap: block-row subrow width (must
-        divide 128).
+        divide 128).  block_rows: subrows per main-sweep block — compact
+        window height grows ~linearly with the scalar span covered, so
+        SMALLER blocks sweep less (until the per-block boundary band or
+        the stage-0 duplication dominates); default via
+        _adaptive_block_rows.
         """
         if LANE % wcap:
             raise ValueError("wcap must divide 128")
@@ -120,7 +125,9 @@ class BlockedGather:
 
         # stage 0: per-main-block distinct block columns, pre-gathered per
         # channel (the CompactBellSpmv trick in block space)
-        R1 = _adaptive_block_rows(wcap)
+        R1 = block_rows or _adaptive_block_rows(wcap)
+        if (R1 * wcap) % 128:
+            raise ValueError("block_rows*wcap must be a multiple of 128")
         pre, remap = _compact_columns(
             np.where(s_valid, s_cols, 0), s_valid, R1,
             max_window=max_window)
@@ -179,10 +186,18 @@ class BlockedGather:
         s = jnp.einsum("nrgl,lk->nrgk", part, sel,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        # (nb, r, G, k) -> subrow-major (nb, G, k, r) -> (total_pad, r)
-        subs = s.transpose(0, 2, 3, 1).reshape(-1, b)
+        # (nb, r, G, k) -> (r, total_pad) WITHOUT a (..., b)-minor
+        # intermediate: a trailing axis of b tile-pads b -> 128 lanes
+        # (32x relayout bloat at b=4 — same class as the _row_sums 26 GB
+        # reshape bomb).  G·k = R subrow slots per block, contiguous.
+        R = G * LANE // wcap
+        subs_t = s.reshape(nb, b, R).transpose(1, 0, 2).reshape(b, nb * R)
         # stage 3: per-block-row subrow sums, batched over the r channels
-        yb = self.stage3.call_batched(subs.T)  # (b, Nb)
+        yb = self.stage3.call_batched(subs_t)  # (b, Nb)
+        # interleave back to scalar dof order, again lane-minor: pad Nb
+        # to a 128 multiple, (b, Nb) -> (b, m, 128) -> (m, 128, b) is
+        # still b-minor; instead write y as (Nb, b) via one transpose of
+        # the SMALL (b, Nb) array and let XLA fuse the flatten
         y = yb.T.reshape(-1)[: self.n_rows]
         return y.astype(x.dtype)
 

@@ -227,6 +227,15 @@ def run_lab(
         "nnz": topo.nnz,
         "ell_width": topo.width,
         "cache_warming": cache_warming,
+        # the reference lab has 11 strategies (testlab/FemModule.cc:166-254);
+        # the 4 not represented here are GPU-ATOMIC variants (coo-gpu,
+        # coo-sort-gpu, csr-gpu atomicAdd, legacy DOK) whose concurrency
+        # discipline has no TPU equivalent — TPU has no fast atomics, every
+        # strategy here is deterministic sort/segment/gather by design
+        "strategies_not_applicable_on_tpu": [
+            "legacy-dok", "coo-gpu-atomic", "coo-sort-gpu-atomic",
+            "csr-gpu-atomic",
+        ],
         "formats": {},
     }
     names = list(formats) if formats else (

@@ -45,6 +45,7 @@ def main():
 
     A = sp.csr_matrix((data.astype(np.float64), cc, rp), shape=(n, n))
     y_ref = A @ x_np.astype(np.float64)
+    print("scipy ref done", flush=True)
 
     out_path = ".cache/queue_results/probe_blocked.jsonl"
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -53,6 +54,7 @@ def main():
     def timed(fn, x0):
         y = fn(x0)
         _ = float(jnp.sum(y))
+        print("  compiled+first done", flush=True)
 
         def series(reps):
             t0 = time.time()
@@ -86,6 +88,7 @@ def main():
         topo=topo, block=1, cols=jnp.asarray(z["ell_cols"]),
     ))
     build_s = time.time() - t0
+    print(f"scalar compact built {build_s:.0f}s", flush=True)
     # the operator must ride as a jit ARGUMENT (pytree) — closing over
     # it turns plan arrays into HLO literals and overflows remote-compile
     # (HTTP 413 at 1.9M, measured)
