@@ -60,11 +60,19 @@ class TetraLaneAssembler:
         if on_tpu:
             from ..sparse.pallas_spmv import PlannedGather
 
-            cols = np.asarray(conn, np.int64).reshape(-1, 1)  # (4nc, 1)
+            # CORNER-major request order (row = i*nc + c): corner i's
+            # gathered coords are then the static slice out[i*nc:(i+1)*nc]
+            # — the old cell-major order needed a (nc, 4) reshape+transpose
+            # whose (8,128) tiling pads 4 -> 128 lanes: a 26.7 GB HBM
+            # allocation at 52M cells (compile-time OOM on the 8.9M arm,
+            # measured 2026-08-20; a silent 5.6 GB at 11M cells).  Window
+            # locality per corner is the same near-monotone cell order.
+            cols = np.asarray(conn, np.int64).T.reshape(-1, 1)  # (4nc, 1)
             self.gather = PlannedGather.build(
                 cols, np.ones((4 * nc, 1), np.float32), wcap=0,
                 compact=compact,
             )
+            self.coords_order = "corner"
         if reduce is None:
             reduce = os.environ.get(
                 "AFEM_UNSTR_ASM", "window" if on_tpu else "segsum")
@@ -161,22 +169,27 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
     if gather is not None and coords_batched:
         # one kernel over a (3, n) table stack — the plan arrays stay
         # resident across the x/y/z channels instead of re-streaming
-        # (AFEM_ASM_COORDS=batched; A/B'd by tools/probe_asm_phases.py)
+        # (AFEM_ASM_COORDS=batched; A/B'd by tools/probe_asm_phases.py).
+        # Corner-major plan rows: corner i = static slice i*nc:(i+1)*nc
+        # (no (nc, 4)-minor relayout — 26.7 GB tile-pad at 52M cells)
         g3 = gather.call_batched(coords.T)  # (3, 4nc)
-        xg = g3[0].reshape(nc, 4).T
-        yg = g3[1].reshape(nc, 4).T
-        zg = g3[2].reshape(nc, 4).T
+        x = [g3[0, i * nc:(i + 1) * nc] for i in range(4)]
+        y = [g3[1, i * nc:(i + 1) * nc] for i in range(4)]
+        z = [g3[2, i * nc:(i + 1) * nc] for i in range(4)]
     elif gather is not None:
-        xg = gather(coords[:, 0]).reshape(nc, 4).T
-        yg = gather(coords[:, 1]).reshape(nc, 4).T
-        zg = gather(coords[:, 2]).reshape(nc, 4).T
+        ox = gather(coords[:, 0])
+        oy = gather(coords[:, 1])
+        oz = gather(coords[:, 2])
+        x = [ox[i * nc:(i + 1) * nc] for i in range(4)]
+        y = [oy[i * nc:(i + 1) * nc] for i in range(4)]
+        z = [oz[i * nc:(i + 1) * nc] for i in range(4)]
     else:
         xg = coords[:, 0][conn_dev]
         yg = coords[:, 1][conn_dev]
         zg = coords[:, 2][conn_dev]
-    x = [xg[i] for i in range(4)]
-    y = [yg[i] for i in range(4)]
-    z = [zg[i] for i in range(4)]
+        x = [xg[i] for i in range(4)]
+        y = [yg[i] for i in range(4)]
+        z = [zg[i] for i in range(4)]
 
     # 6V = (p1-p0) . (p2-p0) x (p3-p0)
     ax, ay, az = x[1] - x[0], y[1] - y[0], z[1] - z[0]
@@ -217,16 +230,19 @@ def _assemble_impl(coords, conn_dev, slot_map_t, gather, reducer,
         # cell-major flat via one HBM transpose pass, then the split
         # window gather — scatter-free reduction
         return reducer(ke10.T.reshape(-1)).reshape(n, W)
-    ke = jnp.stack(
-        [
-            (dx[i] * dx[j] + dy[i] * dy[j] + dz[i] * dz[j]) * scale
-            for i in range(4)
-            for j in range(4)
-        ]
-    )  # (16, nc)
-    vals = jax.ops.segment_sum(
-        ke.reshape(-1), slot_map_t, num_segments=n_slots
-    )
+    # one scatter-add per (i, j) entry instead of a stacked (16, nc)
+    # ke + single segment_sum: the stack alone is 3.3 GB at 52M cells and
+    # its flat reshape doubles it — the 8.9M segsum arm OOM'd 16 GB HBM
+    # (measured 2026-08-20).  Total scattered elements are identical and
+    # the scatter is issue-bound, so 16 calls cost the same.
+    vals = jnp.zeros(n_slots, jnp.float32)
+    for q, (i, j) in enumerate(
+        [(i, j) for i in range(4) for j in range(4)]
+    ):
+        keq = (dx[i] * dx[j] + dy[i] * dy[j] + dz[i] * dz[j]) * scale
+        vals = vals.at[
+            jax.lax.slice_in_dim(slot_map_t, q * nc, (q + 1) * nc)
+        ].add(keq)
     return vals.reshape(n, W)
 
 

@@ -755,6 +755,11 @@ class PlannedGather:
         exactly 128/W whole rows in order, so the row sums are one
         MXU contraction with a 0/1 lane-selection matrix — no relayout."""
         W = self.width
+        if W == 1:
+            # width-1 plans (coords gathers, compact pre-gathers): the
+            # row sum is the identity — the lane-selection einsum below
+            # would be a wasted full-table MXU pass (834 MB at 52M cells)
+            return prods.reshape(nb * R)
         if LANE % W == 0:
             k = LANE // W
             sel = jnp.asarray(
@@ -786,6 +791,11 @@ class PlannedGather:
         else:
             prods = _products_b(self.vals_tiled, self.lcols, self.lo, tp,
                                 self.key)  # (nb, B, G, LANE)
+        if self.width == 1:
+            # identity row sums; a (B, nb*R, 1) intermediate would
+            # tile-pad 1 -> 128 lanes (see _row_sums)
+            out = prods.transpose(1, 0, 2, 3).reshape(B, nb * R)
+            return out[:, : self.n_rows].astype(tables.dtype)
         out = prods.transpose(1, 0, 2, 3).reshape(B, nb * R, self.width)
         return out.sum(axis=2)[:, : self.n_rows].astype(tables.dtype)
 

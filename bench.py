@@ -635,7 +635,12 @@ def bench_unstructured() -> dict:
                                        reduce=asm_mode),
             f"assembler plan ({asm_mode}{suffix})",
             validate=lambda a: (a.reducer_kind == asm_mode
-                                and getattr(a, "compact", False) == asm_compact),
+                                and getattr(a, "compact", False) == asm_compact
+                                # corner-major coords plans (2026-08-20):
+                                # cell-major pickles feed the old sliced
+                                # consumption wrongly — rebuild them
+                                and getattr(a, "coords_order", "cell")
+                                == "corner"),
         )
     else:
         asm = TetraLaneAssembler(topo, mesh.cells["tetra4"],
@@ -668,6 +673,16 @@ def bench_unstructured() -> dict:
     else:
         asm_mdofs = n / asm_s / 1e6
         log(f"[unstr] assembly {asm_s*1e3:.1f} ms -> {asm_mdofs:.1f} MDoF/s")
+
+    # the assembler's device weight (segsum slot map 3.3 GB + coords
+    # plan ~1 GB at 8.9M) is dead once values exist — free it before the
+    # solve so it cannot OOM against the AMG hierarchy
+    import gc
+
+    asm_kind_final = asm.reducer_kind
+    asm_compact_final = getattr(asm, "compact", False)
+    del asm
+    gc.collect()
 
     # BCs: Cut=0, sphere=1 via penalty; rhs f=1
     penalty = 1.0e12 if on_tpu else 1.0e30
@@ -923,8 +938,8 @@ def bench_unstructured() -> dict:
             getattr(Ap, "gather", None)
         ).__name__,
         "amg_compact": amg_compact,
-        "asm_mode": asm.reducer_kind,
-        "asm_compact": getattr(asm, "compact", False),
+        "asm_mode": asm_kind_final,
+        "asm_compact": asm_compact_final,
         "amg_smoother": M.smoother if hasattr(M, "smoother") else "n/a",
         "amg_cycle": amg_cycle,
         "vcycle_bf16": vcycle_bf16,
