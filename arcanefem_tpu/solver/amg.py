@@ -639,7 +639,11 @@ def build_amg(
         lam = float(np.linalg.eigvalsh(T).max()) if len(alphas) else gersh
         return float(min(1.08 * lam, gersh))
 
-    dtype = _av.dtype
+    # Hierarchy dtype follows the DEVICE operator, not the caller's host
+    # copy (values_np is f32 in bench even when the solve is f64 on CPU;
+    # reading .dtype off the jax array costs no device->host fetch) —
+    # ADVICE r4.
+    dtype = np.dtype(A.values.dtype)
     mats, inv_diags, Ps, rhos = [], [], [], []
     cur = Ah
     bl = b  # dofs per "node" at the current level (m on coarse RBM levels)

@@ -174,9 +174,14 @@ class BlockedGather:
         # stage 2: the blocked main sweep (unit gathers, b channels)
         prods = _products_b_unit(self.lcols2, self.lo2, xs, self.key2)
         # (nb, c, G, LANE) × (nb, r, c, G, LANE) -> (nb, r, G, LANE)
+        # precision=HIGHEST: default TPU f32 contractions quantize the
+        # operands to bf16 — this is the CG fine operator under
+        # AFEM_SPMV=blockN, and the contraction size is only b (ADVICE r4)
         part = jnp.einsum(
-            "ncgl,nrcgl->nrgl", prods, self.vals_tiled,
+            "ncgl,nrcgl->nrgl", prods,
+            self.vals_tiled.astype(jnp.float32),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         # row sums over the wcap-wide subrow slots via lane selection
         # (the _row_sums MXU trick, extra r axis; precision=HIGHEST —
@@ -200,6 +205,19 @@ class BlockedGather:
         # the SMALL (b, Nb) array and let XLA fuse the flatten
         y = yb.T.reshape(-1)[: self.n_rows]
         return y.astype(x.dtype)
+
+    def with_weights_dtype(self, dtype) -> "BlockedGather":
+        """Same plan, block values cast (bf16 halves the value stream;
+        the channel contraction up-casts back to f32 before multiply).
+        Keeps the _PlannedMat/with_bf16_vcycle protocol that every gather
+        in an AMG hierarchy must satisfy (ADVICE r4)."""
+        return BlockedGather(
+            pre=self.pre, lcols2=self.lcols2, lo2=self.lo2,
+            key2=self.key2, vals_tiled=self.vals_tiled.astype(dtype),
+            stage3=self.stage3, b=self.b, wcap=self.wcap,
+            n_rows=self.n_rows, n_cols=self.n_cols,
+            need_rows2=self.need_rows2,
+        )
 
     def emulate(self, x: np.ndarray) -> np.ndarray:
         """Numpy plan-emulation of the full pipeline (CPU tests)."""
