@@ -151,6 +151,12 @@ def _rbm_tentative(agg: np.ndarray, na: int, B: np.ndarray, bl: int):
     return T, Bc.reshape(na * m, m)
 
 
+# pass-2 aggregate-size cap: typical 3D aggregates are ~25-60 nodes
+# (root + strong neighbourhood + one pass-2 shell); 128 leaves real
+# meshes untouched while bounding hub pathologies (see pass 2 below)
+_AGG_CAP = 128
+
+
 def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
     """Greedy Vanek aggregation on the strength graph S (scipy csr).
 
@@ -174,6 +180,7 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
     # index order is pathological on RCM/lexicographic meshes (only the
     # frontier minimum roots per round, giving size-3 sliver aggregates).
     pri = np.random.RandomState(0).permutation(n)
+    rounds_used = 0
     for _ in range(64):
         free = agg < 0
         cand = free & ~isolated
@@ -189,6 +196,7 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
         nr = int(roots.sum())
         if nr == 0:
             break
+        rounds_used += 1
         ids = np.full(n, -1, np.int64)
         ids[roots] = na + np.arange(nr)
         agg[roots] = ids[roots]
@@ -203,6 +211,11 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
     # aggregate (measured max size 136 on the 300k sphere_cut, which blew
     # the Galerkin operator width up to 1700); bounded rounds keep
     # aggregate diameter ~3 and the remainder becomes fresh singletons.
+    # SIZE CAP (VERDICT r4 #8): a hub node (star-like strength row) makes
+    # every leftover leaf join the hub's aggregate in ONE batched round —
+    # unboundedly fat aggregates, silent convergence loss.  Per round,
+    # each aggregate accepts at most (_AGG_CAP - size) joiners; the rest
+    # become singletons below, which only costs coarse-level size.
     for _ in range(2):
         free = agg < 0
         if not free.any():
@@ -213,13 +226,38 @@ def _aggregate(S, n: int) -> tuple[np.ndarray, int]:
         upd = free & (best >= 0)
         if not upd.any():
             break
-        agg[upd] = best[upd]
+        sizes = np.bincount(agg[agg >= 0], minlength=na)
+        joiners = np.flatnonzero(upd)
+        tgt = best[joiners]
+        order = np.argsort(tgt, kind="stable")
+        st = tgt[order]
+        # position of each joiner within its target's run
+        run_start = np.concatenate([[0], np.flatnonzero(np.diff(st)) + 1])
+        pos = np.arange(len(st)) - np.repeat(
+            run_start, np.diff(np.concatenate([run_start, [len(st)]])))
+        quota = np.maximum(_AGG_CAP - sizes[st], 0)
+        keep = joiners[order[pos < quota]]
+        if not len(keep):
+            break
+        agg[keep] = best[keep]
     # anything still free but connected becomes singleton aggregates
     left = (agg < 0) & ~isolated
     nl = int(left.sum())
     if nl:
         agg[left] = na + np.arange(nl)
         na += nl
+    # quality diagnostics (VERDICT r4 #8): the failure mode of a bad
+    # aggregation is SILENT (more iterations, not an error) — surface it.
+    if na:
+        max_sz = int(np.bincount(agg[agg >= 0], minlength=na).max())
+        if max_sz > _AGG_CAP + _AGG_CAP // 2 or rounds_used >= 64:
+            import warnings
+
+            warnings.warn(
+                f"_aggregate quality: max aggregate size {max_sz} "
+                f"(cap {_AGG_CAP}), Luby rounds {rounds_used}/64, "
+                f"{nl} singletons of {n} nodes — pathological strength "
+                "graph? expect degraded AMG convergence", stacklevel=2)
     # relabel aggregates in first-member order: coarse numbering then
     # inherits the fine (RCM) locality, which keeps coarse-level matrices
     # and transfer operators window-plannable (sparse/pallas_spmv.py)

@@ -961,17 +961,12 @@ def bench_unstructured() -> dict:
             # overflows the remote-compile body (HTTP 413 at 1.9M nodes)
             f_op = _jax.jit(lambda m, v: m.spmv(v))
 
-            def t_spmv(m, reps):
-                y = f_op(m, b)
-                _ = float(jnp.sum(y))
-                t0 = time.time()
-                for _ in range(reps):
-                    y = f_op(m, b)
-                _ = float(jnp.sum(y))
-                return (time.time() - t0) / reps
+            # the shared harness idiom — probes time the same way
+            # (arcanefem_tpu/utils/timing.py, VERDICT r4 weak #3)
+            from arcanefem_tpu.utils.timing import time_op
 
-            tp = min(t_spmv(Ap, 5) for _ in range(2))
-            tx = min(t_spmv(A, 2) for _ in range(2))
+            tp = time_op(f_op, Ap, b, reps=5, outer=2)
+            tx = time_op(f_op, A, b, reps=2, outer=2)
             spmv_ratio = tx / tp
             log(f"[unstr] SpMV pallas {tp*1e3:.2f} ms vs XLA gather "
                 f"{tx*1e3:.2f} ms -> {spmv_ratio:.1f}x")

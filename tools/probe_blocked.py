@@ -51,22 +51,20 @@ def main():
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     results = []
 
+    # the bench's in-solve timing idiom, shared (utils/timing.py) — the
+    # old chained form disagreed with the solve by 40% (VERDICT r4 #3);
+    # AFEM_PROBE_CHAINED=1 reproduces it for harness-diagnosis only
+    from arcanefem_tpu.utils.timing import time_op, time_op_chained
+
+    chained = os.environ.get("AFEM_PROBE_CHAINED") == "1"
+
     def timed(fn, x0):
         y = fn(x0)
         _ = float(jnp.sum(y))
         print("  compiled+first done", flush=True)
-
-        def series(reps):
-            t0 = time.time()
-            out = x0
-            for _ in range(reps):
-                out = fn(out)
-            _ = float(jnp.sum(out))
-            return time.time() - t0
-
-        t1 = min(series(4) for _ in range(3))
-        t2 = min(series(20) for _ in range(3))
-        return (t2 - t1) / 16.0, y
+        if chained:
+            return time_op_chained(fn, x0), y
+        return time_op(fn, x0, reps=5, outer=2), y
 
     # baseline: the scalar compact sweep (the current bench default)
     from arcanefem_tpu.sparse.bell import BellMatrix
