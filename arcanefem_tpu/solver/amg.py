@@ -28,6 +28,7 @@ machinery recurses on the scalar expansion.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -660,7 +661,16 @@ def build_amg(
         v_prev = np.zeros(n)
         alphas, betas = [], []
         beta = 0.0
-        for _ in range(iters):
+        lam_hist = []
+
+        def top_eig():
+            T = np.diag(alphas)
+            off = betas[:-1]
+            if off:
+                T += np.diag(off, 1) + np.diag(off, -1)
+            return float(np.linalg.eigvalsh(T).max())
+
+        for it in range(iters):
             w = Sv(v) - beta * v_prev
             alpha = float(v @ w)
             w -= alpha * v
@@ -670,11 +680,19 @@ def build_amg(
             if beta < 1e-12 * max(abs(alpha), 1.0):
                 break
             v_prev, v = v, w / beta
-        T = np.diag(alphas)
-        off = betas[:-1]
-        if off:
-            T += np.diag(off, 1) + np.diag(off, -1)
-        lam = float(np.linalg.eigvalsh(T).max()) if len(alphas) else gersh
+            # adaptive stop: each SpMV costs ~1.6 GB of host traffic at
+            # 8.9M (the rho phases were ~1/3 of the 40 s setup) — stop
+            # once the Ritz value has stabilized to 0.3% over 4 steps
+            # (the Kaniel-Paige tail; the 1.08 safety factor dominates
+            # any residual underestimate at that point)
+            if it >= 8 and (it & 1):
+                lam_hist.append((it, top_eig()))
+                if len(lam_hist) >= 3:
+                    l0 = lam_hist[-3][1]
+                    l1 = lam_hist[-1][1]
+                    if abs(l1 - l0) <= 3e-3 * max(abs(l1), 1e-30):
+                        break
+        lam = top_eig() if len(alphas) else gersh
         return float(min(1.08 * lam, gersh))
 
     # Hierarchy dtype follows the DEVICE operator, not the caller's host
@@ -709,14 +727,34 @@ def build_amg(
             nodeA.data = np.sqrt(nodeA.data)
         else:
             nodeA = cur
-        d = np.asarray(nodeA.diagonal())
-        # strength: |a_ij| >= θ_l·sqrt(a_ii·a_jj), diagonal excluded
-        co = nodeA.tocoo()
-        scale = np.sqrt(np.abs(d[co.row] * d[co.col])) + 1e-300
-        keep = (np.abs(co.data) >= theta_l * scale) & (co.row != co.col)
-        S = sp.csr_matrix(
-            (co.data[keep], (co.row[keep], co.col[keep])), shape=nodeA.shape
-        )
+        # native fused strength+filter (amg_setup.cpp, scalar levels):
+        # one CSR pass replaces the scipy coo strength test AND the
+        # strong-filter/searchsorted block below (~15 s of the ~40 s
+        # 1.9M setup); numerics identical (see amg_setup.cpp header)
+        nat_sf = None
+        if (bl == 1 and Bns is None
+                and os.environ.get("AFEM_NATIVE_AMG", "1") == "1"):
+            from ..utils.native import amg_strength_filter_native
+
+            cur_csr = cur.tocsr()
+            nat_sf = amg_strength_filter_native(
+                cur_csr.indptr, cur_csr.indices, cur_csr.data, theta_l)
+        if nat_sf is not None:
+            s_indptr, s_cols, _af_data, _ddf = nat_sf
+            S = sp.csr_matrix(
+                (np.ones(len(s_cols)), s_cols, s_indptr),
+                shape=nodeA.shape,
+            )
+        else:
+            d = np.asarray(nodeA.diagonal())
+            # strength: |a_ij| >= θ_l·sqrt(a_ii·a_jj), diagonal excluded
+            co = nodeA.tocoo()
+            scale = np.sqrt(np.abs(d[co.row] * d[co.col])) + 1e-300
+            keep = (np.abs(co.data) >= theta_l * scale) & (co.row != co.col)
+            S = sp.csr_matrix(
+                (co.data[keep], (co.row[keep], co.col[keep])),
+                shape=nodeA.shape,
+            )
         _mark(f"  strength[{len(mats)}]")
         agg, na = _aggregate(S, nn)
         _mark(f"  aggregate[{len(mats)}]")
@@ -748,36 +786,62 @@ def build_amg(
         # weak (node-)connections are dropped from A and lumped onto the
         # diagonal, so smoothing spreads T only along strong edges — this
         # is what keeps P (and the Galerkin product) sparse
-        aco = cur.tocoo()
-        ni = aco.row // bl
-        nj = aco.col // bl
-        Sco = S.tocoo()
-        skey = np.sort(Sco.row.astype(np.int64) * nn + Sco.col)
-        akey = ni.astype(np.int64) * nn + nj
-        if len(skey):
-            pos = np.minimum(np.searchsorted(skey, akey), len(skey) - 1)
-            strong = (skey[pos] == akey) | (ni == nj)
+        if nat_sf is not None:
+            # the native pass already produced Af's data (A's pattern,
+            # weak entries zeroed, diagonal lumped)
+            Af = sp.csr_matrix(
+                (_af_data, cur_csr.indices, cur_csr.indptr),
+                shape=cur.shape,
+            )
+            ddf = _ddf
+            _mark(f"  filter[{len(mats)}]")
+            rho_f = rho_est(Af, ddf)
+            _mark(f"  rho_f[{len(mats)}]")
+            dd = np.asarray(cur.diagonal())
+            rhos.append(rho_est(cur_csr, dd))
+            _mark(f"  rho_A[{len(mats)}]")
+            from ..utils.native import amg_smooth_p_native
+
+            nat_p = amg_smooth_p_native(
+                cur_csr.indptr, cur_csr.indices, _af_data, ddf,
+                4.0 / 3.0 / rho_f, agg, na, trunc_kmax, trunc_rel,
+                rescale=not used_rbm)
         else:
-            strong = ni == nj
-        af_data = np.where(strong, aco.data, 0.0)
-        drop_row = np.zeros(n)
-        np.add.at(drop_row, aco.row, aco.data - af_data)
-        Af = sp.csr_matrix(
-            (af_data, (aco.row, aco.col)), shape=cur.shape
-        ) + sp.diags(drop_row)
-        ddf = np.asarray(Af.diagonal())
-        Dinvf = sp.diags(1.0 / np.where(ddf == 0, 1.0, ddf))
-        DAf = (Dinvf @ Af).tocsr()
-        _mark(f"  filter[{len(mats)}]")
-        rho_f = rho_est(Af.tocsr(), ddf)
-        _mark(f"  rho_f[{len(mats)}]")
-        # smoother damping uses the TRUE operator's spectral radius
-        dd = np.asarray(cur.diagonal())
-        rhos.append(rho_est(cur.tocsr(), dd))
-        _mark(f"  rho_A[{len(mats)}]")
-        P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho_f) * DAf) @ T
-        P = truncate_rows(P.tocsr(), kmax=trunc_kmax, rel=trunc_rel,
-                          rescale=not used_rbm)
+            nat_p = None
+        if nat_p is not None:
+            p_indptr, p_cols, p_data = nat_p
+            P = sp.csr_matrix((p_data, p_cols, p_indptr), shape=(n, na))
+        else:
+            aco = cur.tocoo()
+            ni = aco.row // bl
+            nj = aco.col // bl
+            Sco = S.tocoo()
+            skey = np.sort(Sco.row.astype(np.int64) * nn + Sco.col)
+            akey = ni.astype(np.int64) * nn + nj
+            if len(skey):
+                pos = np.minimum(np.searchsorted(skey, akey), len(skey) - 1)
+                strong = (skey[pos] == akey) | (ni == nj)
+            else:
+                strong = ni == nj
+            af_data = np.where(strong, aco.data, 0.0)
+            drop_row = np.zeros(n)
+            np.add.at(drop_row, aco.row, aco.data - af_data)
+            Af = sp.csr_matrix(
+                (af_data, (aco.row, aco.col)), shape=cur.shape
+            ) + sp.diags(drop_row)
+            ddf = np.asarray(Af.diagonal())
+            Dinvf = sp.diags(1.0 / np.where(ddf == 0, 1.0, ddf))
+            DAf = (Dinvf @ Af).tocsr()
+            _mark(f"  filter[{len(mats)}]")
+            rho_f = rho_est(Af.tocsr(), ddf)
+            _mark(f"  rho_f[{len(mats)}]")
+            # smoother damping uses the TRUE operator's spectral radius
+            dd = np.asarray(cur.diagonal())
+            rhos.append(rho_est(cur.tocsr(), dd))
+            _mark(f"  rho_A[{len(mats)}]")
+            P = (sp.identity(n, format="csr") - (4.0 / 3.0 / rho_f) * DAf) @ T
+            P = truncate_rows(P.tocsr(), kmax=trunc_kmax, rel=trunc_rel,
+                              rescale=not used_rbm)
         _mark(f"  smoothP[{len(mats)}]")
         nxt = (P.T @ cur @ P).tocsr()
         nxt.sum_duplicates()

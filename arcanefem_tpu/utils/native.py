@@ -92,8 +92,99 @@ def library():
     lib.afem_group_by_slot.argtypes = [
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p]
+    # AMG-setup kernels (amg_setup.cpp) — absent in pre-round-5 builds
+    if not hasattr(lib, "afem_amg_strength_filter"):
+        try:
+            subprocess.run(["make", "-s", "-B", "-C", _NATIVE_DIR],
+                           check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+        except Exception:
+            _lib = lib
+            return _lib
+    if hasattr(lib, "afem_amg_strength_filter"):
+        lib.afem_amg_strength_filter.restype = ctypes.c_int64
+        lib.afem_amg_strength_filter.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.afem_amg_smooth_p.restype = ctypes.c_int64
+        lib.afem_amg_smooth_p.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def amg_strength_filter_native(indptr: np.ndarray, cols: np.ndarray,
+                               data: np.ndarray, theta: float):
+    """Fused strength graph + filtered operator (amg_setup.cpp).
+
+    Returns (s_indptr i64, s_cols i32, af_data f64, ddf f64) or None when
+    the library is unavailable (caller runs the scipy path).  af_data has
+    A's pattern with weak off-diagonals as exact zeros and their values
+    lumped onto the diagonal entry."""
+    lib = library()
+    if lib is None or not hasattr(lib, "afem_amg_strength_filter"):
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    data = np.ascontiguousarray(data, np.float64)
+    n = len(indptr) - 1
+    nnz = len(cols)
+    s_indptr = np.empty(n + 1, np.int64)
+    s_cols = np.empty(nnz, np.int32)
+    af_data = np.empty(nnz, np.float64)
+    ddf = np.empty(n, np.float64)
+    snnz = lib.afem_amg_strength_filter(
+        n, indptr.ctypes.data_as(ctypes.c_void_p),
+        cols.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p), theta,
+        s_indptr.ctypes.data_as(ctypes.c_void_p),
+        s_cols.ctypes.data_as(ctypes.c_void_p),
+        af_data.ctypes.data_as(ctypes.c_void_p),
+        ddf.ctypes.data_as(ctypes.c_void_p),
+    )
+    if snnz < 0:
+        return None  # a row without a diagonal entry — scipy path handles
+    return s_indptr, s_cols[:snnz].copy(), af_data, ddf
+
+
+def amg_smooth_p_native(indptr: np.ndarray, cols: np.ndarray,
+                        af_data: np.ndarray, ddf: np.ndarray, c: float,
+                        agg: np.ndarray, na: int, kmax: int, rel: float,
+                        rescale: bool):
+    """Fused P = (I - c Dinv_f A_f) T + truncate_rows (amg_setup.cpp).
+
+    Scalar tentative only (T[i, agg[i]] = 1).  Returns
+    (p_indptr i64, p_cols i32, p_data f64) or None."""
+    lib = library()
+    if lib is None or not hasattr(lib, "afem_amg_smooth_p"):
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int32)
+    af_data = np.ascontiguousarray(af_data, np.float64)
+    ddf = np.ascontiguousarray(ddf, np.float64)
+    agg = np.ascontiguousarray(agg, np.int64)
+    n = len(indptr) - 1
+    cap = n * int(kmax)
+    p_indptr = np.empty(n + 1, np.int64)
+    p_cols = np.empty(cap, np.int32)
+    p_data = np.empty(cap, np.float64)
+    pnnz = lib.afem_amg_smooth_p(
+        n, indptr.ctypes.data_as(ctypes.c_void_p),
+        cols.ctypes.data_as(ctypes.c_void_p),
+        af_data.ctypes.data_as(ctypes.c_void_p),
+        ddf.ctypes.data_as(ctypes.c_void_p), c,
+        agg.ctypes.data_as(ctypes.c_void_p), na, kmax, rel,
+        1 if rescale else 0,
+        p_indptr.ctypes.data_as(ctypes.c_void_p),
+        p_cols.ctypes.data_as(ctypes.c_void_p),
+        p_data.ctypes.data_as(ctypes.c_void_p),
+    )
+    return p_indptr, p_cols[:pnnz].copy(), p_data[:pnnz].copy()
 
 
 def group_by_slot_native(slots: np.ndarray, entry_map, n_slots: int):

@@ -464,5 +464,8 @@ def test_galerkin_nan_fails_loudly(monkeypatch):
         return Q
 
     monkeypatch.setattr(amg_mod, "truncate_rows", bad_truncate)
+    # the native setup path bypasses truncate_rows — force the scipy
+    # branch the injection targets (the finite-check guards BOTH paths)
+    monkeypatch.setenv("AFEM_NATIVE_AMG", "0")
     with pytest.raises(FloatingPointError, match="non-finite Galerkin"):
         amg_mod.build_amg(A, coarse_size=8)

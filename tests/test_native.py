@@ -38,3 +38,69 @@ def test_native_mixed_buckets():
     assert tn.nnz == tp.nnz
     for k in tn.slot_maps:
         np.testing.assert_array_equal(tn.slot_maps[k], tp.slot_maps[k])
+
+
+def test_native_amg_strength_filter_smooth_p_parity():
+    """amg_setup.cpp vs the scipy formulas on a random SPD-ish CSR."""
+    import scipy.sparse as sp
+
+    from arcanefem_tpu.utils.native import (
+        amg_smooth_p_native,
+        amg_strength_filter_native,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 400
+    A = sp.random(n, n, density=0.02, random_state=rng, format="csr")
+    A = (A + A.T).tocsr()
+    A = (A + sp.diags(np.abs(A).sum(axis=1).A1 + 1.0)).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    theta = 0.05
+    nat = amg_strength_filter_native(A.indptr, A.indices, A.data, theta)
+    assert nat is not None, "native library unavailable"
+    s_indptr, s_cols, af_data, ddf = nat
+
+    # scipy reference: strength pattern
+    d = np.asarray(A.diagonal())
+    co = A.tocoo()
+    scale = np.sqrt(np.abs(d[co.row] * d[co.col])) + 1e-300
+    keep = (np.abs(co.data) >= theta * scale) & (co.row != co.col)
+    S_ref = sp.csr_matrix(
+        (np.ones(int(keep.sum())), (co.row[keep], co.col[keep])),
+        shape=A.shape)
+    S_nat = sp.csr_matrix(
+        (np.ones(len(s_cols)), s_cols, s_indptr), shape=A.shape)
+    assert (S_ref != S_nat).nnz == 0
+
+    # scipy reference: filtered operator
+    af_ref = np.where(keep | (co.row == co.col), co.data, 0.0)
+    drop = np.zeros(n)
+    np.add.at(drop, co.row, co.data - af_ref)
+    Af_ref = sp.csr_matrix((af_ref, (co.row, co.col)), shape=A.shape) \
+        + sp.diags(drop)
+    Af_nat = sp.csr_matrix((af_data, A.indices, A.indptr), shape=A.shape)
+    assert abs(Af_ref - Af_nat).max() < 1e-12
+    np.testing.assert_allclose(ddf, np.asarray(Af_nat.diagonal()),
+                               rtol=0, atol=1e-12)
+
+    # smoothP + truncate parity
+    from arcanefem_tpu.solver.amg import _aggregate, truncate_rows
+
+    agg, na = _aggregate(S_ref, n)
+    c = 4.0 / 3.0 / 2.5
+    nat_p = amg_smooth_p_native(A.indptr, A.indices, af_data, ddf, c,
+                                agg, na, 8, 0.05, rescale=True)
+    assert nat_p is not None
+    p_indptr, p_cols, p_data = nat_p
+    P_nat = sp.csr_matrix((p_data, p_cols, p_indptr), shape=(n, na))
+    sel = agg >= 0
+    T = sp.csr_matrix(
+        (np.ones(int(sel.sum())), (np.arange(n)[sel], agg[sel])),
+        shape=(n, na))
+    Dinvf = sp.diags(1.0 / np.where(ddf == 0, 1.0, ddf))
+    P_ref = (sp.identity(n, format="csr") - c * (Dinvf @ Af_ref)) @ T
+    P_ref = truncate_rows(P_ref.tocsr(), kmax=8, rel=0.05, rescale=True)
+    assert P_ref.shape == P_nat.shape
+    assert abs(P_ref - P_nat).max() < 1e-12, \
+        f"max dev {abs(P_ref - P_nat).max()}"
