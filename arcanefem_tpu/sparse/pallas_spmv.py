@@ -899,10 +899,26 @@ def _compact_columns(cols, real, block_rows, stage1_rows=1024,
         uniqs.append(u)
         off += len(u)
     uniq = np.concatenate(uniqs)
-    pre = PlannedGather.build(
-        uniq[:, None], np.ones((len(uniq), 1), np.float32),
-        block_rows=stage1_rows, max_window=max_window, wcap=0,
-    )
+    pre = None
+    import os as _os
+
+    if _os.environ.get("AFEM_BAND_PRE", "0") == "1":
+        # banded tile pre-gather (band_gather.py): per-tile K-row bands
+        # for the sorted request stream, ~4-6x fewer sweep steps than the
+        # span sweep at 1.9M (VERDICT r4 #2).  The narrow/wide tile
+        # permutation is baked into remap here — downstream windows see
+        # each uniq run as <=2 contiguous clusters, no runtime merge.
+        from .band_gather import BandedGather
+
+        band, perm = BandedGather.build(uniq, max_window=max_window)
+        if band is not None:
+            pre = band
+            remap = perm[remap // 128] * 128 + remap % 128
+    if pre is None:
+        pre = PlannedGather.build(
+            uniq[:, None], np.ones((len(uniq), 1), np.float32),
+            block_rows=stage1_rows, max_window=max_window, wcap=0,
+        )
     if pre is None:
         return None, None
     return pre, remap[:n]

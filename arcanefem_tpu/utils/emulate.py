@@ -49,11 +49,14 @@ def emulate_planned(g, table):
 
 
 def emulate_gather(g, table):
-    """Emulate a PlannedGather or (nested) ChainedGather."""
+    """Emulate a PlannedGather, (nested) ChainedGather, or BandedGather."""
     from ..sparse.pallas_spmv import ChainedGather
 
     if isinstance(g, ChainedGather):
         # compact plans nest: stage1 may itself be a ChainedGather
         # (column pre-gather -> remapped main sweep)
         return emulate_gather(g.stage2, emulate_gather(g.stage1, table))
+    if not isinstance(g, PlannedGather) and hasattr(g, "emulate"):
+        # BandedGather (sparse/band_gather.py) carries its own emulation
+        return g.emulate(np.asarray(table, np.float32))
     return emulate_planned(g, table)

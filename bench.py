@@ -774,6 +774,17 @@ def bench_unstructured() -> dict:
         from dataclasses import replace as _cyc_replace
         M = _cyc_replace(M, cycle=amg_cycle)
         log(f"[unstr] AMG cycle: {amg_cycle}")
+    # Chebyshev degree is an APPLY-time parameter (the hierarchy/rhos do
+    # not depend on it): BENCH_AMG_CHEB_APPLY patches the loaded M so a
+    # degree A/B reuses the cached hierarchy instead of a ~25-min 8.9M
+    # rebuild (the cache key keeps the BUILD degree)
+    _cda = os.environ.get("BENCH_AMG_CHEB_APPLY")
+    if _cda:
+        from dataclasses import replace as _deg_replace
+        _deg = (tuple(int(x) for x in _cda.split(","))
+                if "," in _cda else int(_cda))
+        M = _deg_replace(M, cheb_deg=_deg)
+        log(f"[unstr] AMG cheb_deg (apply-patched): {_deg}")
     setup_s = time.time() - t0
     log(f"[unstr] AMG setup (host{', cached' if amg_cached else ''}) "
         f"{setup_s:.1f}s, levels={[m.topo.n_nodes for m in M.mats]}")

@@ -676,3 +676,105 @@ def test_lane_assembler_compact_batched_matches_segsum_on_tpu(monkeypatch):
     monkeypatch.setenv("AFEM_ASM_COORDS", "batched")
     v3 = np.asarray(a_c(coords))
     np.testing.assert_allclose(v3, v1, rtol=3e-5, atol=1e-6)
+
+
+def test_banded_gather_stream_parity():
+    """BandedGather (band_gather.py) emulation: out[tile_perm-mapped
+    position] == table[request] for every real request, mixed
+    narrow/wide streams."""
+    from arcanefem_tpu.sparse.band_gather import BandedGather
+
+    rng = np.random.RandomState(5)
+    # sorted runs with mixed strides: dense (stride ~3), sparse
+    # (stride ~200 -> wide tiles), and a run-boundary jump down
+    runs = []
+    base = 0
+    for stride, ln in ((3, 2000), (200, 400), (5, 1500), (90, 500)):
+        r = base + np.cumsum(rng.randint(1, stride + 1, ln))
+        runs.append(r)
+        base = int(r[-1] // 3)  # next run jumps back (run boundary)
+    req = np.concatenate(runs).astype(np.int64)
+    g, perm = BandedGather.build(req, K=16)
+    assert g is not None
+    assert 0 < g.n_narrow < g.n_tiles  # genuinely mixed
+    table = rng.rand(int(req.max()) + 7).astype(np.float32)
+    out = g.emulate(table)
+    m = len(req)
+    pos = perm[np.arange(m) // 128] * 128 + np.arange(m) % 128
+    np.testing.assert_allclose(out[pos], table[req], rtol=0, atol=0)
+
+
+def test_compact_chain_with_band_pre(monkeypatch):
+    """The full compact plan under AFEM_BAND_PRE=1: remap permutation +
+    banded stage-1 reproduce exactly the same linear map."""
+    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather, PlannedGather
+
+    monkeypatch.setenv("AFEM_BAND_PRE", "1")
+    rng = np.random.RandomState(7)
+    n, W = 4000, 8
+    cols = (np.arange(n)[:, None] * 3 + rng.randint(0, 40, (n, W))) % (3 * n)
+    w = rng.rand(n, W).astype(np.float32)
+    w[rng.rand(n, W) < 0.3] = 0.0
+    g = PlannedGather.build(cols, w, compact=True)
+    assert isinstance(g, ChainedGather)
+    from arcanefem_tpu.sparse.band_gather import BandedGather
+
+    assert isinstance(g.stage1, BandedGather), type(g.stage1)
+    table = rng.rand(3 * n).astype(np.float32)
+    np.testing.assert_allclose(
+        _emulate(g, table), (w * table[cols]).sum(axis=1),
+        rtol=2e-5, atol=1e-5,
+    )
+
+
+def test_split_compact_chain_with_band_pre(monkeypatch):
+    """Wide rows (subrow split) + compact + banded pre — the production
+    fine-operator shape (W=25 > wcap) under AFEM_BAND_PRE=1."""
+    from arcanefem_tpu.sparse.pallas_spmv import ChainedGather, PlannedGather
+
+    monkeypatch.setenv("AFEM_BAND_PRE", "1")
+    rng = np.random.RandomState(8)
+    n, W = 3000, 25
+    cols = (np.arange(n)[:, None] * 5 + rng.randint(0, 60, (n, W))) % (5 * n)
+    deg = rng.randint(5, W + 1, n)
+    w = rng.rand(n, W).astype(np.float32)
+    w[np.arange(W)[None, :] >= deg[:, None]] = 0.0
+    g = PlannedGather.build(cols, w, compact=True)
+    assert isinstance(g, ChainedGather)
+    table = rng.rand(5 * n).astype(np.float32)
+    np.testing.assert_allclose(
+        _emulate(g, table), (w * table[cols]).sum(axis=1),
+        rtol=2e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU"
+)
+def test_banded_gather_kernel_on_tpu():
+    """Band kernel == its numpy emulation on hardware (mixed streams)."""
+    import jax.numpy as jnp
+
+    from arcanefem_tpu.sparse.band_gather import BandedGather
+
+    rng = np.random.RandomState(11)
+    runs = []
+    base = 0
+    for stride, ln in ((3, 3000), (150, 600), (6, 2500)):
+        r = base + np.cumsum(rng.randint(1, stride + 1, ln))
+        runs.append(r)
+        base = int(r[-1] // 2)
+    req = np.concatenate(runs).astype(np.int64)
+    g, perm = BandedGather.build(req, K=16)
+    assert g is not None and 0 < g.n_narrow < g.n_tiles
+    table = rng.rand(int(req.max()) + 9).astype(np.float32)
+    got = np.asarray(jax.jit(lambda gg, t: gg(t))(g, jnp.asarray(table)))
+    want = g.emulate(table)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # batched form too
+    tb = np.stack([table, table * 2.0 + 1.0])
+    gotb = np.asarray(
+        jax.jit(lambda gg, t: gg.call_batched(t))(g, jnp.asarray(tb)))
+    np.testing.assert_allclose(gotb[0], want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        gotb[1], g.emulate(tb[1]), rtol=1e-6, atol=1e-6)
