@@ -476,10 +476,13 @@ def default_cache_paths(platform: str = "tpu") -> dict:
         p["snmesh"] = os.path.join(CACHE_DIR, f"{key}_snmesh.npz")
         key += "_sn"
     p["topology"] = os.path.join(CACHE_DIR, f"topo_{key}.npz")
+    # banded pre-gathers (AFEM_BAND_PRE=1) change every compact plan —
+    # distinct cache namespace so A/B arms never pollute the default path
+    band_sfx = "_band" if os.environ.get("AFEM_BAND_PRE") == "1" else ""
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window")
     asm_compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
     if asm_mode != "segsum":
-        suffix = "_c" if asm_compact else ""
+        suffix = ("_c" if asm_compact else "") + band_sfx
         p["asm_plan"] = os.path.join(
             CACHE_DIR, f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v2.pkl")
     smoother = os.environ.get("BENCH_AMG_SMOOTHER", "chebyshev")
@@ -495,7 +498,7 @@ def default_cache_paths(platform: str = "tpu") -> dict:
         CACHE_DIR,
         f"amg_{key}_{smoother}{str(cheb).replace(' ', '')}"
         f"_t{theta:g}_{platform}_p{penalty:g}"
-        f"{mode_sfx}_v2.pkl",
+        f"{mode_sfx}{band_sfx}_v2.pkl",
     )
     return p
 
@@ -613,8 +616,9 @@ def bench_unstructured() -> dict:
             log(f"[unstr] window-assembly plan ~{est_gb:.1f} GB > "
                 f"{max_gb:g} GB cap; keeping segsum assembly")
             asm_mode = "segsum"
+    _band_sfx = "_band" if os.environ.get("AFEM_BAND_PRE") == "1" else ""
     if asm_mode != "segsum":
-        suffix = "_c" if asm_compact else ""
+        suffix = ("_c" if asm_compact else "") + _band_sfx
         plan_path = os.path.join(
             CACHE_DIR, f"asmplan_{key}_{asm_mode}{suffix}_{platform}_v2.pkl")
         # an uncached window-reducer plan costs ~11 min of host numpy at
@@ -735,7 +739,7 @@ def bench_unstructured() -> dict:
         CACHE_DIR,
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
         f"_t{amg_theta:g}_{platform}_p{penalty:g}"
-        f"{amg_mode_sfx}_v2.pkl",
+        f"{amg_mode_sfx}{_band_sfx}_v2.pkl",
     )
     # host copy of the assembled values: needed only to BUILD the AMG
     # hierarchy (scipy setup) and for the host-side penalty write.  When
