@@ -880,25 +880,44 @@ def _compact_columns(cols, real, block_rows, stage1_rows=1024,
     n, W = cols.shape
     R = block_rows
     nb = -(-n // R)
-    cp = np.full((nb * R, W), -1, np.int64)
-    cp[:n] = np.where(real, cols, -1)
-    uniqs, off = [], 0
-    remap = np.empty((nb * R, W), np.int64)
-    for b in range(nb):
-        blk = cp[b * R : (b + 1) * R]
-        m = blk >= 0
-        if not m.any():
-            uniqs.append(np.zeros(1, np.int64))
-            remap[b * R : (b + 1) * R] = off
-            off += 1
-            continue
-        u, inv = np.unique(blk[m], return_inverse=True)
-        rm = np.full(blk.shape, off, np.int64)
-        rm[m] = off + inv
-        remap[b * R : (b + 1) * R] = rm
-        uniqs.append(u)
-        off += len(u)
-    uniq = np.concatenate(uniqs)
+    uniq = remap = None
+    import os as _os2
+
+    if (cols.size and int(cols.max(initial=0)) < 2**31
+            and _os2.environ.get("AFEM_NATIVE_UNIQ") == "1"):
+        # native per-block sort+unique+remap (amg_setup.cpp).  MEASURED
+        # NEGATIVE at 1.9M (3.7s vs the numpy loop's 2.9s — the per-block
+        # sort dominates both and numpy's is as good); kept opt-in for
+        # machines where numpy is the slower one
+        from ..utils.native import compact_uniq_native
+
+        nat = compact_uniq_native(
+            np.where(real, cols, -1).astype(np.int32), R)
+        if nat is not None:
+            uniq, remap_n = nat  # remap_n is (n, W) — no pad rows
+            remap = np.empty((nb * R, W), np.int64)
+            remap[:n] = remap_n
+            remap[n:] = 0
+    if uniq is None:
+        cp = np.full((nb * R, W), -1, np.int64)
+        cp[:n] = np.where(real, cols, -1)
+        uniqs, off = [], 0
+        remap = np.empty((nb * R, W), np.int64)
+        for b in range(nb):
+            blk = cp[b * R : (b + 1) * R]
+            m = blk >= 0
+            if not m.any():
+                uniqs.append(np.zeros(1, np.int64))
+                remap[b * R : (b + 1) * R] = off
+                off += 1
+                continue
+            u, inv = np.unique(blk[m], return_inverse=True)
+            rm = np.full(blk.shape, off, np.int64)
+            rm[m] = off + inv
+            remap[b * R : (b + 1) * R] = rm
+            uniqs.append(u)
+            off += len(u)
+        uniq = np.concatenate(uniqs)
     pre = None
     import os as _os
 

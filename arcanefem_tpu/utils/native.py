@@ -114,8 +114,34 @@ def library():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_double, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+    if hasattr(lib, "afem_compact_uniq"):
+        lib.afem_compact_uniq.restype = ctypes.c_int64
+        lib.afem_compact_uniq.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def compact_uniq_native(cols: np.ndarray, R: int):
+    """Per-block distinct-column compaction (amg_setup.cpp): cols (n, W)
+    int32 with -1 pads -> (uniq int32 concat, remap (n, W) int64) or
+    None.  The _compact_columns hot loop."""
+    lib = library()
+    if lib is None or not hasattr(lib, "afem_compact_uniq"):
+        return None
+    cols = np.ascontiguousarray(cols, np.int32)
+    n, W = cols.shape
+    nb = -(-n // R) if n else 1
+    cap = int((cols >= 0).sum()) + nb
+    uniq = np.empty(cap, np.int32)
+    remap = np.empty((n, W), np.int64)
+    total = lib.afem_compact_uniq(
+        n, W, cols.ctypes.data_as(ctypes.c_void_p), R,
+        uniq.ctypes.data_as(ctypes.c_void_p),
+        remap.ctypes.data_as(ctypes.c_void_p),
+    )
+    return uniq[:total].copy(), remap
 
 
 def amg_strength_filter_native(indptr: np.ndarray, cols: np.ndarray,
