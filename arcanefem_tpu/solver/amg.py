@@ -868,15 +868,17 @@ def build_amg(
     import os as _os
 
     _spmv_mode = _os.environ.get("AFEM_SPMV")
-    # blockN: sweep level operators at N×N block granularity
-    # (sparse/blocked.py — ~fill/b² of the scalar sweep's lane-ops);
-    # transfers keep the scalar compact plans
-    blocked_b = {"block2": 2, "block4": 4}.get(_spmv_mode or "")
+    # blockN (sparse/blocked.py) RETIRED from the flag surface (round 5):
+    # with the trustworthy shared harness, block4_w16 measured 23.8 ms vs
+    # the production split-compact chain's 14.0 ms at 1.9M — the b×b
+    # sweep never recovered its pre/post-stage overhead (see blocked.py
+    # header and VERDICT r4 #7).  The class remains importable for the
+    # record + tests.
     if compact is None:
         # column-compaction pre-gather for every planned window sweep
         # (level operators + transfers): ~6x fewer lane-ops on 3D-bandwidth
         # plans (sparse/pallas_spmv.CompactBellSpmv analysis)
-        compact = _spmv_mode == "compact" or blocked_b is not None
+        compact = _spmv_mode == "compact"
 
     def to_bell(M, pallas: bool) -> BellMatrix:
         M = M.tocsr()
@@ -890,14 +892,6 @@ def build_amg(
             topo=t, block=1, cols=jnp.asarray(t.ell_cols),
         )
         if pallas:
-            if blocked_b is not None:
-                from ..sparse.blocked import BlockedGather
-
-                g = BlockedGather.build_csr(
-                    M.indices, M.indptr, M.data, M.shape[1], b=blocked_b,
-                )
-                if g is not None:
-                    return _PlannedMat(bm, g)
             # width-capped PlannedGather (values baked as pytree data):
             # the hierarchy's widths grow with depth (Galerkin fill-in,
             # W≈60-100), and an uncapped ELL kernel at that width blows

@@ -1,5 +1,14 @@
 """Blocked (b×b) window-sweep SpMV for SCALAR sparse operators.
 
+**RETIRED (round 5) — documented negative result.**  With the shared
+probe/bench harness (utils/timing.py) block4_w16 measured 23.8 ms vs the
+production split-compact chain's 14.0 ms on the 1.9M sphere_cut: the b
+channel tables multiply the pre/post stages back past anything the b×b
+sweep reduction saves, across two rounds of layout fixes (stage-3 MXU
+row sums, (nb, b, R) reshapes).  The AFEM_SPMV=blockN routing has been
+removed from bench.py/solver/amg.py; the class stays importable for the
+record and its parity tests.
+
 The window kernel's cost is (entry tiles) × (window rows): every 128-lane
 tile of gather indices is swept against every 128-lane row of its block's
 VMEM window (sparse/pallas_spmv.py).  Both factors shrink when the

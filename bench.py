@@ -492,8 +492,7 @@ def default_cache_paths(platform: str = "tpu") -> dict:
     penalty = 1.0e12
     # bench_unstructured exports BENCH_UNSTR_SPMV into AFEM_SPMV for these
     # modes; mirror that mapping so the key matches what the run will read
-    mode_sfx = {"compact": "_compact", "block2": "_b2",
-                "block4": "_b4"}.get(spmv_mode, "")
+    mode_sfx = {"compact": "_compact"}.get(spmv_mode, "")
     p["amg"] = os.path.join(
         CACHE_DIR,
         f"amg_{key}_{smoother}{str(cheb).replace(' ', '')}"
@@ -536,9 +535,10 @@ def bench_unstructured() -> dict:
     # BENCH_UNSTR_SPMV=window|supernode opt back into the alternatives.
     spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "compact")
     supernode = spmv_mode == "supernode"
-    if spmv_mode in ("compact", "block2", "block4"):
-        # read by _cached_spmv AND build_amg (level operators + transfers);
-        # blockN = b×b blocked sweep for level operators (sparse/blocked.py)
+    if spmv_mode == "compact":
+        # read by _cached_spmv AND build_amg (level operators + transfers).
+        # blockN (sparse/blocked.py) retired round 5: 23.8 ms vs the
+        # production chain's 14.0 ms at 1.9M under the shared harness.
         os.environ["AFEM_SPMV"] = spmv_mode
     key = f"sphere_cut_v3_h{h:g}_r{refine}"
     # node ordering is decoupled from the SpMV mode and DEFAULTS to the
@@ -733,8 +733,7 @@ def bench_unstructured() -> dict:
     amg_cycle = os.environ.get("BENCH_AMG_CYCLE", "V")
     amg_mode = os.environ.get("AFEM_SPMV", "")
     amg_compact = amg_mode == "compact"
-    amg_mode_sfx = {"compact": "_compact", "block2": "_b2",
-                    "block4": "_b4"}.get(amg_mode, "")
+    amg_mode_sfx = {"compact": "_compact"}.get(amg_mode, "")
     amg_path = os.path.join(
         CACHE_DIR,
         f"amg_{key}_{amg_smoother}{str(amg_cheb).replace(' ', '')}"
