@@ -62,6 +62,17 @@ def main():
     print(f"plan built {time.time()-t0:.0f}s", flush=True)
     legs = legs_of(g)
     for i, leg in enumerate(legs):
+        if hasattr(leg, "n_narrow"):  # BandedGather
+            K, G, nb = leg.key
+            wdesc = ""
+            if leg.wide is not None:
+                Gw, srw, nbw = leg.wide.key
+                wdesc = (f" wide(nb={nbw} G={Gw} VL={sum(srw)} "
+                         f"lane_units={nbw*Gw*sum(srw)/1e6:.1f}M)")
+            print(f"leg{i}: BAND K={K} G={G} nb={nb} "
+                  f"narrow={leg.n_narrow}/{leg.n_tiles} "
+                  f"narrow_units={nb*G*K/1e6:.1f}M{wdesc}", flush=True)
+            continue
         G, sr, nb = leg.key
         print(f"leg{i}: nb={nb} G={G} VL={sum(sr)} slots={len(sr)} "
               f"W={leg.width} rows={leg.n_rows} "
