@@ -190,11 +190,15 @@ class BandedGather:
     @staticmethod
     def build(requests: np.ndarray, K: int | None = None,
               G: int = 8, max_window: int = 128 * 1024,
-              min_narrow_frac: float = 0.25):
+              min_narrow_frac: float = 0.25,
+              valid: np.ndarray | None = None):
         """requests: (m,) int64 concatenated sorted runs (e.g. per-block
-        distinct columns).  Returns (gather, tile_perm) or (None, None)
-        when the wide remainder cannot be planned or banding is
-        pointless (< min_narrow_frac narrow tiles)."""
+        distinct columns).  valid (m,) bool marks requests that must
+        contribute (invalid ones output exact 0 — ELL padding slots);
+        their request values are forward-filled so they never widen a
+        band.  Returns (gather, tile_perm) or (None, None) when the wide
+        remainder cannot be planned or banding is pointless
+        (< min_narrow_frac narrow tiles)."""
         import os
 
         if K is None:
@@ -204,12 +208,26 @@ class BandedGather:
         m = len(requests)
         if m == 0:
             return None, None
+        requests = np.asarray(requests, np.int64)
+        if valid is not None:
+            valid = np.asarray(valid, bool)
+            if not valid.any():
+                return None, None
+            # forward-fill invalid requests from the nearest valid one
+            idx = np.where(valid, np.arange(m), -1)
+            np.maximum.accumulate(idx, out=idx)
+            if idx[0] < 0:
+                first = np.flatnonzero(valid)[0]
+                idx[idx < 0] = first
+            requests = requests[idx]
         T = -(-m // LANE)
         req = np.empty(T * LANE, np.int64)
         req[:m] = requests
         req[m:] = requests[-1]
         pad_mask = np.zeros(T * LANE, bool)
         pad_mask[m:] = True
+        if valid is not None:
+            pad_mask[:m] |= ~valid
         tiles = req.reshape(T, LANE)
         rows_t = tiles >> 7
         base8 = (rows_t.min(axis=1) // 8) * 8
@@ -315,6 +333,70 @@ class BandedGather:
         if self.wide is not None:
             parts.append(emulate_gather(self.wide, tp))
         return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+class BandedRowSum:
+    """Banded gather + W-wide row sums — the stage-2 subrow-sum shape.
+
+    The split plans' stage 2 sums each row's W2 CONSECUTIVE subrow ids;
+    flattened row-major the request stream is globally sorted with tiny
+    steps, so every tile is narrow (identity tile_perm, no wide part)
+    and the K-step band sweep replaces the block-window sweep (~9x fewer
+    vreg-steps on the 1.9M leg2).  Output rows never straddle tiles
+    (W2 | 128), so the row sum is the standard lane-selection MXU
+    contraction straight off the (T, 128) band output."""
+
+    def __init__(self, band: BandedGather, W2: int, n_rows: int):
+        assert band.wide is None, "stage-2 stream must be all-narrow"
+        assert LANE % W2 == 0
+        self.band = band
+        self.W2 = W2
+        self.n_rows = n_rows
+
+    @property
+    def width(self):
+        return self.W2
+
+    @property
+    def vals_tiled(self):
+        return None  # unit-plan marker
+
+    def _sel(self):
+        k = LANE // self.W2
+        return jnp.asarray(
+            np.repeat(np.eye(k, dtype=np.float32), self.W2, axis=0))
+
+    def __call__(self, table: "jnp.ndarray") -> "jnp.ndarray":
+        y = self.band(table)  # (T*128,) row-major (r, w2)
+        T = self.band.n_tiles
+        s = jnp.einsum("tl,lk->tk", y.reshape(T, LANE), self._sel(),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return s.reshape(-1)[: self.n_rows].astype(table.dtype)
+
+    def call_batched(self, tables: "jnp.ndarray") -> "jnp.ndarray":
+        y = self.band.call_batched(tables)  # (B, T*128)
+        T = self.band.n_tiles
+        s = jnp.einsum("btl,lk->btk",
+                       y.reshape(y.shape[0], T, LANE), self._sel(),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return s.reshape(y.shape[0], -1)[:, : self.n_rows].astype(
+            tables.dtype)
+
+    def with_weights_dtype(self, dtype) -> "BandedRowSum":
+        return self  # unit weights throughout
+
+    def emulate(self, table: np.ndarray) -> np.ndarray:
+        y = self.band.emulate(np.asarray(table, np.float32))
+        return y.reshape(-1, self.W2).sum(axis=1)[: self.n_rows]
+
+
+jax.tree_util.register_pytree_node(
+    BandedRowSum,
+    lambda g: ((g.band,), (g.W2, g.n_rows)),
+    lambda meta, data: BandedRowSum(data[0], meta[0], meta[1]),
+)
 
 
 def _banded_flatten(g):

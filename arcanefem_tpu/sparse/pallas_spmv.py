@@ -969,6 +969,20 @@ def _split_stage2(n, nsub, total, block_rows, max_window):
     base = (sub_start[:-1, None] + np.arange(W2)[None, :]).astype(np.int32)
     o_w = np.arange(W2)[None, :] < nsub[:, None]
     o_cols = np.where(o_w, base, 0)
+    import os as _os3
+
+    if _os3.environ.get("AFEM_BAND_PRE", "0") == "1":
+        # flattened row-major the stream is globally sorted with ~1-2
+        # steps per row — every tile narrow, K-step band sweep (~9x on
+        # the 1.9M leg2); falls through when any tile lands wide
+        from .band_gather import BandedGather, BandedRowSum
+
+        band, _ = BandedGather.build(
+            base.reshape(-1).astype(np.int64), max_window=max_window,
+            valid=o_w.reshape(-1), min_narrow_frac=0.999,
+        )
+        if band is not None and band.wide is None:
+            return BandedRowSum(band, W2, n)
     return PlannedGather.build(o_cols, o_w.astype(np.float32), block_rows,
                                max_window, wcap=0)
 

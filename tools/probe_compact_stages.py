@@ -87,6 +87,14 @@ def main():
         recs.append(r)
 
     f_apply = jax.jit(lambda gg, v: gg(v))
+    # hardware parity gate before timing: the chain must be the same
+    # linear map as the direct ELL product
+    y = np.asarray(f_apply(g, x))
+    x_np = np.asarray(x)
+    ref = (vals * x_np[cols]).sum(axis=1)
+    err = float(np.max(np.abs(y - ref)) / (np.max(np.abs(ref)) + 1e-30))
+    print(f"parity vs ELL product: rel_err={err:.2e}", flush=True)
+    assert err < 1e-5, "chain output mismatch"
     rec("full", time_op(f_apply, g, x))
     inp = x
     for i, leg in enumerate(legs):
