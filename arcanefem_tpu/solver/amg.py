@@ -899,9 +899,14 @@ def build_amg(
             # the padded-slot sweep work
             from ..sparse.pallas_spmv import PlannedGather
 
+            # AFEM_SPMV_WCAP: subrow width of the split plans (default
+            # 16).  8 cuts slot padding 1.26x -> 1.08x and halves each
+            # block's uniq span (main-sweep VL), at 2x stage-2 rows —
+            # cheap once stage-2 is banded.  A/B knob, round 5.
+            _wcap = int(_os.environ.get("AFEM_SPMV_WCAP", "16"))
             g = PlannedGather.build(
                 np.where(t.ell_valid, t.ell_cols, 0), vals * t.ell_valid,
-                compact=compact,
+                compact=compact, wcap=_wcap,
             )
             if g is not None:
                 return _PlannedMat(bm, g)

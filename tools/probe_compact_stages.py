@@ -62,6 +62,13 @@ def main():
     print(f"plan built {time.time()-t0:.0f}s", flush=True)
     legs = legs_of(g)
     for i, leg in enumerate(legs):
+        if hasattr(leg, "band"):  # BandedRowSum (banded stage-2)
+            b = leg.band
+            print(f"leg{i}: BANDSUM K={b.key[0]} G={b.key[1]} "
+                  f"nb={b.key[2]} tiles={b.n_tiles} W2={leg.W2} "
+                  f"units={b.key[2]*b.key[1]*b.key[0]/1e6:.1f}M",
+                  flush=True)
+            continue
         if hasattr(leg, "n_narrow"):  # BandedGather
             K, G, nb = leg.key
             wdesc = ""

@@ -48,6 +48,29 @@ def main() -> int:
         print(f"  warn: orphaned partial write {t} "
               "(interrupted cache dump; delete it)")
 
+    # warm-compile heuristic (VERDICT r4 #5 / round-3 _v2 lesson): any
+    # kernel/layout source newer than the newest persistent-compile-cache
+    # entry means the driver's bench likely pays a fresh multi-minute
+    # remote compile (BENCH_r04: 323 s compile+first).  Run one warm
+    # `python bench.py` on the TPU after kernel changes, THEN this gate.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jc = glob.glob(os.path.join(repo, ".jax_cache", "*"))
+    if jc:
+        cache_mtime = max(os.path.getmtime(f) for f in jc)
+        hot = glob.glob(os.path.join(repo, "arcanefem_tpu", "sparse", "*.py")) \
+            + glob.glob(os.path.join(repo, "arcanefem_tpu", "ops", "*.py")) \
+            + glob.glob(os.path.join(repo, "arcanefem_tpu", "mesh",
+                                     "pallas_stencil.py"))
+        stale = [f for f in hot if os.path.getmtime(f) > cache_mtime]
+        if stale:
+            print(f"  warn: {len(stale)} kernel source(s) newer than the "
+                  "newest .jax_cache entry — the driver bench may pay a "
+                  "fresh compile; run a warm `python bench.py` first:")
+            for f in stale[:6]:
+                print(f"        {os.path.relpath(f, repo)}")
+    else:
+        print("  warn: .jax_cache is empty — every kernel compiles fresh")
+
     if missing:
         print(f"\nFAIL: {len(missing)} default-path cache(s) missing — the "
               "driver's bench run would pay the full host rebuild "
