@@ -54,8 +54,11 @@ class TetraLaneAssembler:
         # assembly sweeps (coords + reducer) — the direct sweeps re-stream
         # each coord ~cells-per-node times and pay span-sized reducer
         # windows; compaction is the same ~6x lane-op cut the SpMV took
-        # (CompactBellSpmv).  Off by default until measured on hardware.
-        compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
+        # (CompactBellSpmv).  DEFAULT ON since round 5: measured 1661.6
+        # -> 384.8 ms at 1.9M (reducer 1461.9 -> 308.4, coords 167.7 ->
+        # 55.4; tools/probe_asm_phases.py 2026-08-20).  AFEM_ASM_COMPACT=0
+        # restores the direct sweeps.
+        compact = os.environ.get("AFEM_ASM_COMPACT", "1") == "1"
         self.compact = compact
         if on_tpu:
             from ..sparse.pallas_spmv import PlannedGather

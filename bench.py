@@ -480,7 +480,7 @@ def default_cache_paths(platform: str = "tpu") -> dict:
     # distinct cache namespace so A/B arms never pollute the default path
     band_sfx = "_band" if os.environ.get("AFEM_BAND_PRE") == "1" else ""
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window")
-    asm_compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
+    asm_compact = os.environ.get("AFEM_ASM_COMPACT", "1") == "1"
     if asm_mode != "segsum":
         suffix = ("_c" if asm_compact else "") + band_sfx
         p["asm_plan"] = os.path.join(
@@ -600,7 +600,7 @@ def bench_unstructured() -> dict:
     # 1.69s vs segsum's 2.36s -> total 3.40s vs 4.06s); AFEM_UNSTR_ASM=segsum
     # restores the scatter baseline for A/Bs.
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window" if on_tpu else "segsum")
-    asm_compact = os.environ.get("AFEM_ASM_COMPACT", "0") == "1"
+    asm_compact = os.environ.get("AFEM_ASM_COMPACT", "1") == "1"
     nc = mesh.cells["tetra4"].shape[0]
     if asm_mode == "window":
         # window-plan device footprint, estimated from ENTRY counts (the
