@@ -866,7 +866,7 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _compact_columns(cols, real, block_rows, stage1_rows=1024,
+def _compact_columns(cols, real, block_rows, stage1_rows=None,
                      max_window=128 * 1024):
     """Per-block distinct-column pre-gather.
 
@@ -934,6 +934,12 @@ def _compact_columns(cols, real, block_rows, stage1_rows=1024,
             pre = band
             remap = perm[remap // 128] * 128 + remap % 128
     if pre is None:
+        if stage1_rows is None:
+            # pre-block size: larger blocks mean fewer grid steps and
+            # slot DMAs (the leg0 cost class — band A/B showed the sweep
+            # is NOT the binding constraint) at wider windows; A/B via
+            # AFEM_PRE_ROWS (must be a multiple of 128)
+            stage1_rows = int(_os.environ.get("AFEM_PRE_ROWS", "1024"))
         pre = PlannedGather.build(
             uniq[:, None], np.ones((len(uniq), 1), np.float32),
             block_rows=stage1_rows, max_window=max_window, wcap=0,

@@ -479,6 +479,10 @@ def default_cache_paths(platform: str = "tpu") -> dict:
     # banded pre-gathers (AFEM_BAND_PRE=1) change every compact plan —
     # distinct cache namespace so A/B arms never pollute the default path
     band_sfx = "_band" if os.environ.get("AFEM_BAND_PRE") == "1" else ""
+    if os.environ.get("AFEM_SPMV_WCAP", "16") != "16":
+        band_sfx += f"_w{os.environ['AFEM_SPMV_WCAP']}"
+    if os.environ.get("AFEM_PRE_ROWS", "1024") != "1024":
+        band_sfx += f"_pr{os.environ['AFEM_PRE_ROWS']}"
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window")
     asm_compact = os.environ.get("AFEM_ASM_COMPACT", "1") == "1"
     if asm_mode != "segsum":
@@ -617,6 +621,10 @@ def bench_unstructured() -> dict:
                 f"{max_gb:g} GB cap; keeping segsum assembly")
             asm_mode = "segsum"
     _band_sfx = "_band" if os.environ.get("AFEM_BAND_PRE") == "1" else ""
+    if os.environ.get("AFEM_SPMV_WCAP", "16") != "16":
+        _band_sfx += f"_w{os.environ['AFEM_SPMV_WCAP']}"
+    if os.environ.get("AFEM_PRE_ROWS", "1024") != "1024":
+        _band_sfx += f"_pr{os.environ['AFEM_PRE_ROWS']}"
     if asm_mode != "segsum":
         suffix = ("_c" if asm_compact else "") + _band_sfx
         plan_path = os.path.join(
