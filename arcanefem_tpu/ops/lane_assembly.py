@@ -70,9 +70,11 @@ class TetraLaneAssembler:
             # allocation at 52M cells (compile-time OOM on the 8.9M arm,
             # measured 2026-08-20; a silent 5.6 GB at 11M cells).  Window
             # locality per corner is the same near-monotone cell order.
-            cols = np.asarray(conn, np.int64).T.reshape(-1, 1)  # (4nc, 1)
+            cdt = np.int32 if topo.n_nodes < 2**31 else np.int64
+            cols = np.asarray(conn, cdt).T.reshape(-1, 1)  # (4nc, 1)
+            # bool weights = unit plan without a 4nc f32 (834 MB at 8.9M)
             self.gather = PlannedGather.build(
-                cols, np.ones((4 * nc, 1), np.float32), wcap=0,
+                cols, np.ones((4 * nc, 1), np.bool_), wcap=0,
                 compact=compact,
             )
             self.coords_order = "corner"

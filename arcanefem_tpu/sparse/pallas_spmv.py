@@ -610,17 +610,25 @@ class PlannedGather:
         3D-bandwidth meshes (see CompactBellSpmv); falls back to the
         direct plan when the pre-gather cannot be planned."""
         n, W = cols.shape
-        w_np = np.asarray(weights, np.float32)
-        real = w_np != 0.0
+        # bool weights = unit semantics without an E-sized f32 (the 8.9M
+        # assembly plan build OOM'd a 125 GB host on such temporaries)
+        w_np = np.asarray(weights)
+        unit_in = w_np.dtype == np.bool_
+        if not unit_in and w_np.dtype != np.float32:
+            w_np = w_np.astype(np.float32)
+        real = w_np if unit_in else (w_np != 0.0)
         deg = real.sum(axis=1).astype(np.int64)
         if wcap and int(deg.max(initial=0)) > wcap:
-            return _build_split(cols, w_np, real, deg, block_rows,
+            return _build_split(cols,
+                                w_np.astype(np.float32) if unit_in
+                                else w_np,
+                                real, deg, block_rows,
                                 max_window, wcap, compact=compact)
         if block_rows is None:
             block_rows = _adaptive_block_rows(W)
         if compact:
             pre, cols2 = _compact_columns(
-                np.asarray(cols, np.int64), real, block_rows,
+                np.asarray(cols), real, block_rows,
                 max_window=max_window,
             )
             if pre is not None:
@@ -629,20 +637,21 @@ class PlannedGather:
                 )
                 if main is not None:
                     return ChainedGather(pre, main, n)
-        cols = np.asarray(cols, np.int64)
+        cols = np.asarray(cols)
         if not real.any():
             return None
         # native planner path: pads ride as -1 and come back as the
         # sentinel — the fill-nearby-column and unit-mask passes disappear
         plan = None
         if cols.size and int(cols.max()) < 2**31:
-            plan = _plan_native(np.where(real, cols, -1).astype(np.int32),
-                                block_rows, max_window, _SLOT_CANDIDATES)
+            plan = _plan_native(
+                np.where(real, cols, -1).astype(np.int32, copy=False),
+                block_rows, max_window, _SLOT_CANDIDATES)
         from_native = plan is not None and plan is not False
         if plan is False:
             return None
         if plan is None:
-            cols = cols.copy()
+            cols = np.asarray(cols, np.int64).copy()
             # pad columns -> the row's first real column; empty rows
             # forward-fill from the nearest non-empty row so they never
             # widen a window
@@ -672,7 +681,7 @@ class PlannedGather:
         # zeroes it).  Halves the plan's HBM footprint and saves a vector
         # multiply per tile; the 8.7 GB window-assembly plan at 1.9M nodes
         # OOM'd HBM by 1.28 GB without this (measured 2026-08-19).
-        if bool(np.all(w_np[real] == 1.0)):
+        if unit_in or bool(np.all(w_np[real] == 1.0)):
             if from_native:
                 # pads are already the sentinel — no masking pass
                 lc = np.asarray(plan.lcols)
@@ -899,24 +908,31 @@ def _compact_columns(cols, real, block_rows, stage1_rows=None,
             remap[:n] = remap_n
             remap[n:] = 0
     if uniq is None:
-        cp = np.full((nb * R, W), -1, np.int64)
+        # int32 index space at scale (values and compact positions both
+        # < 2^31 at every size in use) — the int64 form doubled the
+        # 8.9M assembly build's footprint (OOM, round 5)
+        idt = (np.int32 if (cols.size == 0
+                            or int(cols.max(initial=0)) < 2**31)
+               else np.int64)
+        cp = np.full((nb * R, W), -1, idt)
         cp[:n] = np.where(real, cols, -1)
         uniqs, off = [], 0
-        remap = np.empty((nb * R, W), np.int64)
+        remap = np.empty((nb * R, W), idt)
         for b in range(nb):
             blk = cp[b * R : (b + 1) * R]
             m = blk >= 0
             if not m.any():
-                uniqs.append(np.zeros(1, np.int64))
+                uniqs.append(np.zeros(1, idt))
                 remap[b * R : (b + 1) * R] = off
                 off += 1
                 continue
             u, inv = np.unique(blk[m], return_inverse=True)
-            rm = np.full(blk.shape, off, np.int64)
-            rm[m] = off + inv
+            rm = np.full(blk.shape, off, idt)
+            rm[m] = (off + inv).astype(idt)
             remap[b * R : (b + 1) * R] = rm
             uniqs.append(u)
             off += len(u)
+        del cp
         uniq = np.concatenate(uniqs)
     pre = None
     import os as _os
@@ -941,7 +957,7 @@ def _compact_columns(cols, real, block_rows, stage1_rows=None,
             # AFEM_PRE_ROWS (must be a multiple of 128)
             stage1_rows = int(_os.environ.get("AFEM_PRE_ROWS", "1024"))
         pre = PlannedGather.build(
-            uniq[:, None], np.ones((len(uniq), 1), np.float32),
+            uniq[:, None], np.ones((len(uniq), 1), np.bool_),
             block_rows=stage1_rows, max_window=max_window, wcap=0,
         )
     if pre is None:
@@ -1030,9 +1046,14 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
                 return ChainedGather(stage1, stage2, n)
         # no native stage-1 plan/library: fall through to the numpy path
 
-    if cvals is None:
-        cvals = np.ones(len(ccols), np.float32)
-    rows = np.repeat(np.arange(n), deg)
+    # memory diet (round 5): the 8.9M compact ASSEMBLY build OOM-killed a
+    # 125 GB host at int64 scale (E=834M entries) — everything below
+    # stays int32/bool where the value range allows, no E-sized int64
+    # temporaries, and unit weights are never materialized as f32.
+    E = len(ccols)
+    lean = E > (1 << 26) and (E == 0 or int(np.max(ccols)) < 2**31)
+    if lean:
+        ccols = np.asarray(ccols, np.int32)
     nsub = -(-deg // wcap)
     if not compact:
         # span-bound (non-compact) sweeps: deg==0 rows KEEP a padding
@@ -1045,25 +1066,39 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
         # waste (19M of 51M stage-1 subrows at 1.9M) and are dropped.
         nsub = np.maximum(1, nsub)
     total = int(nsub.sum())
-    sub_start = np.concatenate([[0], np.cumsum(nsub)])
-    ent_start = np.concatenate([[0], np.cumsum(deg)])
-    pos = np.arange(len(rows)) - np.repeat(ent_start[:-1], deg)
-    sub_idx = (np.repeat(sub_start[:-1], deg) + pos // wcap).astype(np.int64)
-    slot = (pos % wcap).astype(np.int64)
-    s_cols = np.zeros((total, wcap), np.int64)
-    s_w = np.zeros((total, wcap), np.float32)
+    idt = np.int32 if (lean and total < 2**31 and E < 2**31) else np.int64
+    sub_start = np.concatenate([[0], np.cumsum(nsub)]).astype(idt)
+    ent_start = np.concatenate([[0], np.cumsum(deg)]).astype(idt)
+    pos = np.arange(E, dtype=idt)
+    pos -= np.repeat(ent_start[:-1], deg)
+    sub_idx = np.repeat(sub_start[:-1], deg)
+    sub_idx += pos // wcap
+    np.mod(pos, wcap, out=pos)
+    slot = pos  # pos reused in place — no second E-sized array
+    cdtype = np.int32 if lean else np.int64
+    s_cols = np.zeros((total, wcap), cdtype)
     s_cols[sub_idx, slot] = ccols
-    s_w[sub_idx, slot] = cvals
+    s_valid = np.zeros((total, wcap), bool)
+    if cvals is None:
+        s_valid[sub_idx, slot] = True
+        s_w = None  # unit — never materialize an E-sized f32
+    else:
+        s_w = np.zeros((total, wcap), np.float32)
+        s_w[sub_idx, slot] = cvals
+        s_valid = s_w != 0.0
+    del sub_idx, pos
     # zero-weight REAL entries would be dropped by the stage-1 pad logic;
     # nudge them to a tiny non-zero so the linear map stays exact enough
     # is unnecessary: a zero weight contributes zero either way.
     stage1 = None
     if compact:
         R1 = block_rows or _adaptive_block_rows(wcap)
-        pre, s_cols2 = _compact_columns(s_cols, s_w != 0.0, R1,
+        pre, s_cols2 = _compact_columns(s_cols, s_valid, R1,
                                         max_window=max_window)
         if pre is not None:
-            main = PlannedGather.build(s_cols2, s_w, R1, max_window, wcap=0)
+            main = PlannedGather.build(
+                s_cols2, s_valid if s_w is None else s_w, R1, max_window,
+                wcap=0)
             if main is not None:
                 stage1 = ChainedGather(pre, main, total)
         if stage1 is None:
@@ -1072,8 +1107,9 @@ def _build_split_compact(ccols, cvals, deg, n, block_rows, max_window, wcap,
             return _build_split_compact(ccols, cvals, deg, n, block_rows,
                                         max_window, wcap, compact=False)
     else:
-        stage1 = PlannedGather.build(s_cols, s_w, block_rows, max_window,
-                                     wcap=0)
+        stage1 = PlannedGather.build(
+            s_cols, s_valid if s_w is None else s_w, block_rows,
+            max_window, wcap=0)
     if stage1 is None:
         return None
     stage2 = _split_stage2(n, nsub, total, block_rows, max_window)
