@@ -465,8 +465,8 @@ def default_cache_paths(platform: str = "tpu") -> dict:
     driver's bench run instead of during it (the BENCH_r03 failure:
     commit 3a78052 bumped the asm-plan key to _v2 hours before the driver
     ran, and the ~11-min host rebuild blew the driver's timeout)."""
-    h = float(os.environ.get("BENCH_UNSTR_H", "5"))
-    refine = int(os.environ.get("BENCH_UNSTR_REFINE", "2"))
+    h = float(os.environ.get("BENCH_UNSTR_H", "6"))
+    refine = int(os.environ.get("BENCH_UNSTR_REFINE", "3"))
     key = f"sphere_cut_v3_h{h:g}_r{refine}"
     p = {"mesh": os.path.join(CACHE_DIR, f"{key}.npz")}
     spmv_mode = os.environ.get("BENCH_UNSTR_SPMV", "compact")
@@ -485,6 +485,11 @@ def default_cache_paths(platform: str = "tpu") -> dict:
         band_sfx += f"_pr{os.environ['AFEM_PRE_ROWS']}"
     asm_mode = os.environ.get("AFEM_UNSTR_ASM", "window")
     asm_compact = os.environ.get("AFEM_ASM_COMPACT", "1") == "1"
+    if h >= 6 and refine >= 3:
+        # mirror bench_unstructured's HBM cap: at the 8.9M default the
+        # window plan (est ~10.8 GB, actual 20 GB) cannot fit one chip's
+        # 16 GB — assembly degrades to segsum, which needs no plan cache
+        asm_mode = "segsum"
     if asm_mode != "segsum":
         suffix = ("_c" if asm_compact else "") + band_sfx
         p["asm_plan"] = os.path.join(
@@ -519,8 +524,12 @@ def bench_unstructured() -> dict:
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    h = float(os.environ.get("BENCH_UNSTR_H", "5" if on_tpu else "14"))
-    refine = int(os.environ.get("BENCH_UNSTR_REFINE", "2" if on_tpu else "0"))
+    # the PRIMARY default is the north-star size itself (8.9M DoF,
+    # BASELINE.json) since round 5 — caches for it are primed, warm runs
+    # fit the driver budget; BENCH_UNSTR_H=5 BENCH_UNSTR_REFINE=2 is the
+    # 1.9M kernel-iteration size
+    h = float(os.environ.get("BENCH_UNSTR_H", "6" if on_tpu else "14"))
+    refine = int(os.environ.get("BENCH_UNSTR_REFINE", "3" if on_tpu else "0"))
     rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
