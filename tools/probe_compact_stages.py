@@ -58,7 +58,8 @@ def main():
     print(f"n={n:,} W={W} nnz={int(valid.sum()):,}", flush=True)
 
     t0 = time.time()
-    g = PlannedGather.build(cols, vals, compact=True)
+    wcap = int(os.environ.get("AFEM_SPMV_WCAP", "16"))
+    g = PlannedGather.build(cols, vals, compact=True, wcap=wcap)
     print(f"plan built {time.time()-t0:.0f}s", flush=True)
     legs = legs_of(g)
     for i, leg in enumerate(legs):
