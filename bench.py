@@ -1354,6 +1354,13 @@ def main():
             traceback.print_exc(file=sys.stderr)
             skip_box = False
     if not skip_box:
+        # free the unstructured primary's device residents (hierarchy +
+        # vectors, ~10 GB at the 8.9M default) before the 11.4M box
+        # allocates — without this the secondary dies RESOURCE_EXHAUSTED
+        # (observed in the round-5 default validation run)
+        import gc
+
+        gc.collect()
         # the structured secondary needs ~2 min warm but can cost ~10 min
         # on a cold compile cache through the remote-compile tunnel; never
         # let it push a completed primary past the deadline
