@@ -1357,10 +1357,25 @@ def main():
         # free the unstructured primary's device residents (hierarchy +
         # vectors, ~10 GB at the 8.9M default) before the 11.4M box
         # allocates — without this the secondary dies RESOURCE_EXHAUSTED
-        # (observed in the round-5 default validation run)
+        # (observed in the round-5 default validation run).  gc alone was
+        # NOT enough (validation v2): compiled-executable caches pin
+        # trace-time constants and donated-buffer aliases — drop them too.
         import gc
 
         gc.collect()
+        try:
+            import jax as _jx
+
+            la = _jx.live_arrays()
+            log(f"[bench] {len(la)} live device arrays, "
+                f"{sum(a.nbytes for a in la)/1e9:.2f} GB before secondary")
+            _jx.clear_caches()
+            gc.collect()
+            la = _jx.live_arrays()
+            log(f"[bench] after clear_caches: {len(la)} arrays, "
+                f"{sum(a.nbytes for a in la)/1e9:.2f} GB")
+        except Exception as e:  # diagnostics must never cost the metric
+            log(f"[bench] live-array probe failed ({e!r})")
         # the structured secondary needs ~2 min warm but can cost ~10 min
         # on a cold compile cache through the remote-compile tunnel; never
         # let it push a completed primary past the deadline
