@@ -132,6 +132,68 @@ def _emit_final(tag: str = "") -> bool:
     return out["value"] is not None
 
 
+def _run_subprocess_metrics() -> bool:
+    """Run each metric in its OWN process and merge the JSONs.
+
+    After the 8.9M primary, the axon worker keeps its memory pinned for
+    the lifetime of the process — validation v3 measured 0 client-side
+    live arrays (gc + jax.clear_caches) yet every subsequent allocation
+    died RESOURCE_EXHAUSTED, so the 11.4M structured secondary can never
+    run in the same process.  Process isolation releases the worker
+    allocation.  Returns True when a final JSON was emitted."""
+    import subprocess
+
+    def run_child(extra_env, what, budget):
+        env = dict(os.environ)
+        env.update(extra_env)
+        env["BENCH_SUBPROC"] = "0"
+        env["BENCH_BUDGET_S"] = str(max(int(budget), 60))
+        log(f"[bench] {what} subprocess (budget {int(budget)}s)")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE, text=True, timeout=budget + 180,
+                cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {what} subprocess timed out")
+            return None
+        last = None
+        for ln in (proc.stdout or "").splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                last = ln
+        if last is None:
+            log(f"[bench] {what} subprocess emitted no JSON "
+                f"(rc={proc.returncode})")
+            return None
+        try:
+            j = json.loads(last)
+        except Exception:
+            return None
+        if j.get("value") is None:
+            return None
+        res = {"metric": j["metric"], "value": j["value"]}
+        res.update({k: v for k, v in j.get("extra", {}).items()
+                    if not k.startswith(("baseline_", "secondary_"))})
+        return res
+
+    p = run_child({"BENCH_BOX": "0"}, "primary",
+                  max(time_left() - 60, 120))
+    if p is not None:
+        _RESULTS["primary"] = p
+    reserve = float(os.environ.get("BENCH_SECONDARY_S", "420"))
+    if time_left() > reserve or p is None:
+        s = run_child({"BENCH_UNSTR": "0", "BENCH_BOX": "1"}, "secondary",
+                      max(min(time_left() - 30, 900), 120))
+        # a dead-tunnel child may emit the same fallback metric twice —
+        # never record a duplicate as "secondary"
+        if s is not None and (p is None or s["metric"] != p["metric"]):
+            _RESULTS["secondary"] = s
+    if _RESULTS["primary"] is None and _RESULTS["secondary"] is None:
+        return False
+    return _emit_final("subprocess mode")
+
+
 def _start_watchdog():
     """Deadline thread: emit whatever completed, then hard-exit.
 
@@ -1339,6 +1401,14 @@ def main():
                 skip_box = False  # never override an explicit BENCH_BOX=0
 
     _start_watchdog()
+    if (not skip_unstr and not skip_box
+            and os.environ.get("BENCH_SUBPROC", "1") == "1"):
+        # both metrics requested: isolate each in its own process (the
+        # axon worker never releases the 8.9M primary's memory — see
+        # _run_subprocess_metrics); inline fallback below on any failure
+        if _run_subprocess_metrics():
+            return
+        log("[bench] subprocess mode produced nothing; running inline")
     unstr = None
     if not skip_unstr:
         try:
